@@ -1,0 +1,204 @@
+"""Stage-1 adapter localization model (device compute + host assembly).
+
+Replaces edlib's HW alignment of the SR adapter and its reverse complement
+against every long read (reference get_alns, scTagger.py:176-196) with a
+batched Myers bit-vector scan on the TPU. Per read it reproduces edlib's
+observable surface exactly:
+
+  forward strand : d1 and ALL optimal end positions (edlib `locations` x[1]);
+  reverse strand : d2 and, per optimal end, the MINIMAL optimal start
+                   (edlib computes starts by a reverse SHW pass and keeps its
+                   furthest position — edlib.cpp obtainAlignmentTraceback;
+                   reported as x[0]-len(seq)-1, scTagger.py:189);
+  tie d1 == d2   : read invalid (strand 'NA', d=-1, scTagger.py:182-183).
+
+Reads are bucketed by length to bound padding waste; the per-end start
+recovery runs as a second batched SHW scan over fixed 2m-wide reversed
+windows (k <= m+d-1 positions can be optimal, so the window is lossless).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import sys
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.packing import STRICT_TABLE, encode_seqs, encode_str, rev_compl
+from ..ops.myers import build_peq_multi, build_peq_single, _scores_scan
+from ..utils import batch_iter, round_up
+
+BUCKETS = [128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072]
+# (bucket length, reads per device call) — bounds scores memory ~ L*B*2*4B
+_CHUNK_FOR = {
+    128: 16384, 256: 8192, 512: 4096, 1024: 2048, 2048: 1024,
+    4096: 512, 8192: 256, 16384: 128, 32768: 64, 65536: 32, 131072: 16,
+}
+
+
+@dataclasses.dataclass
+class AdapterScanResult:
+    """Per-read alignment info in reference get_alns terms."""
+
+    strands: np.ndarray  # (N,) int8: 0='+', 1='-', -1='NA' (tie)
+    dists: np.ndarray  # (N,) int32: chosen-strand distance, -1 for NA
+    flat_locs: np.ndarray  # (M,) int64 locs concatenated read-major
+    loc_counts: np.ndarray  # (N,) int64
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _hw_block(text_T, peq2, lengths, m: int):
+    """(L, B) codes + (5, 2) Peq -> per-read dists (B, 2) and argmin masks
+    (L, B, 2) over valid positions only."""
+    scores = _scores_scan(text_T, peq2, m, shw=False)  # (L, B, 2)
+    L = text_T.shape[0]
+    pos_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) < lengths[None, :]
+    )[:, :, None]
+    big = jnp.int32(1 << 20)
+    masked = jnp.where(pos_valid, scores, big)
+    d = jnp.minimum(masked.min(axis=0), m)  # (B, 2); empty reads clamp to m
+    mask = masked == d[None, :, :]
+    return d, mask
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _shw_last_block(win_T, peq_rev, wlens, targets, m: int):
+    """Reverse-SHW start recovery: win_T (W, T) reversed window codes.
+
+    Returns k_last (T,): the furthest window position whose SHW score equals
+    the task's target distance (edlib's positionsSHW[last])."""
+    scores = _scores_scan(win_T, peq_rev, m, shw=True)  # (W, T)
+    W = win_T.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    hit = (scores == targets[None, :]) & (pos < wlens[None, :])
+    return jnp.max(jnp.where(hit, pos, -1), axis=0)
+
+
+def scan_adapters(
+    seqs: Sequence[str],
+    adapter: str,
+    threads: int = 1,
+    progress: bool = False,
+) -> AdapterScanResult:
+    """Full stage-1 device scan over all reads."""
+    m = len(adapter)
+    a2 = rev_compl(adapter)
+    peq2 = jnp.asarray(
+        build_peq_multi(
+            np.stack([
+                encode_str(adapter, STRICT_TABLE),
+                encode_str(a2, STRICT_TABLE),
+            ])
+        )
+    )
+    n = len(seqs)
+    lengths = np.fromiter((len(s) for s in seqs), count=n, dtype=np.int32)
+    buckets = list(BUCKETS)
+    mx = int(lengths.max(initial=0))
+    if mx > buckets[-1]:
+        buckets.append(round_up(mx, 1024))
+        _CHUNK_FOR[buckets[-1]] = 8
+
+    strands = np.full(n, -1, dtype=np.int8)
+    dists = np.full(n, -1, dtype=np.int32)
+    locs_per_read: list[np.ndarray | None] = [None] * n
+
+    order = np.argsort(lengths, kind="stable")
+    rev_tasks_rid: list[np.ndarray] = []  # read ids per pending rev task
+    rev_tasks_end: list[np.ndarray] = []
+
+    lo = 0
+    for L in buckets:
+        hi = int(np.searchsorted(lengths[order], L, side="right"))
+        idx = order[lo:hi]
+        lo = hi
+        if idx.size == 0:
+            continue
+        chunk = _CHUNK_FOR.get(L, 16)
+        if progress:
+            print(f"[scan] bucket<= {L}: {idx.size} reads", file=sys.stderr)
+        for s, e in batch_iter(idx.size, chunk):
+            sub = idx[s:e]
+            codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
+            d, mask = _hw_block(
+                jnp.asarray(codes.astype(np.int32).T),
+                peq2,
+                jnp.asarray(lengths[sub]),
+                m,
+            )
+            d = np.asarray(d)
+            mask = np.asarray(mask)
+            d1, d2 = d[:, 0], d[:, 1]
+            fwd = d1 < d2
+            rev = d2 < d1
+            strands[sub[fwd]] = 0
+            strands[sub[rev]] = 1
+            dists[sub[fwd]] = d1[fwd]
+            dists[sub[rev]] = d2[rev]
+            # forward locs = optimal end positions
+            for bi in np.flatnonzero(fwd):
+                locs_per_read[sub[bi]] = np.flatnonzero(mask[:, bi, 0]).astype(
+                    np.int64
+                )
+            # reverse strand: queue (rid, end) tasks for start recovery
+            for bi in np.flatnonzero(rev):
+                ends = np.flatnonzero(mask[:, bi, 1]).astype(np.int64)
+                rev_tasks_rid.append(np.full(ends.size, sub[bi], dtype=np.int64))
+                rev_tasks_end.append(ends)
+
+    _recover_rev_starts(
+        seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists, locs_per_read
+    )
+
+    loc_counts = np.array(
+        [0 if v is None else v.size for v in locs_per_read], dtype=np.int64
+    )
+    flat = (
+        np.concatenate([v for v in locs_per_read if v is not None and v.size])
+        if loc_counts.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    return AdapterScanResult(strands, dists, flat, loc_counts)
+
+
+def _recover_rev_starts(
+    seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists, locs_per_read
+):
+    """Batch reverse-SHW over 2m-wide windows; fills locs for '-' reads."""
+    if not rev_tasks_rid:
+        return
+    rids = np.concatenate(rev_tasks_rid)
+    ends = np.concatenate(rev_tasks_end)
+    W = 2 * m
+    peq_rev = jnp.asarray(build_peq_single(encode_str(a2, STRICT_TABLE)[::-1]))
+
+    starts = np.empty(rids.size, dtype=np.int64)
+    for s, e in batch_iter(rids.size, 8192):
+        rr, ee = rids[s:e], ends[s:e]
+        wins = []
+        for r, en in zip(rr, ee):
+            w0 = max(0, int(en) - W + 1)
+            wins.append(seqs[r][w0 : int(en) + 1][::-1])
+        codes, wl = encode_seqs(wins, pad_to=W)
+        k_last = np.asarray(
+            _shw_last_block(
+                jnp.asarray(codes.astype(np.int32).T),
+                peq_rev,
+                jnp.asarray(wl.astype(np.int32)),
+                jnp.asarray(dists[rr]),
+                m,
+            )
+        )
+        starts[s:e] = ee - k_last
+    # group back per read (tasks were appended read-major)
+    locs = starts - lengths[rids].astype(np.int64) - 1
+    cut = np.flatnonzero(np.diff(rids)) + 1
+    for rid_group, loc_group in zip(
+        np.split(rids, cut), np.split(locs, cut)
+    ):
+        locs_per_read[int(rid_group[0])] = loc_group

@@ -1,0 +1,236 @@
+"""Stage-3 matcher model: dense LR-segment x whitelist infix matching.
+
+Replaces the reference's per-worker trie build + error-tolerant DFS + shard
+merge (scTagger.py:643-716) with a dense two-pass device computation:
+
+  pass 1: min infix edit distance per segment over all 2xN patterns
+          (fwd + revcomp barcodes) — the throughput-critical kernel.
+  pass 2: for matched segments (min <= max_error), recompute per-pattern
+          best distances and extract the argmin tie set via top_k.
+
+Semantic equivalence to the trie (SURVEY.md §3.4): the trie records read ids
+at every window-path depth in [bl-mr, bl+mr] over windows starting at every
+segment offset, and the DFS consumes the barcode with <= mr errors — so the
+reported quantity per (read, barcode, strand) is exactly the infix ("HW")
+edit distance of the barcode vs the segment, clipped at mr. Pattern index
+p = 2*bid + (1 if forward else 0), so ascending p equals the reference's
+tie-set sort order `sorted(bids)` with strand False < True (scTagger.py:789).
+
+Character semantics: the reference's map_char sends every byte except
+uppercase C/G/T to 0 == 'A' (scTagger.py:512-516) — reproduced via the
+LENIENT encoding table for both barcodes and segments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import sys
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.packing import CODE_PAD, LENIENT_TABLE, encode_seqs, rev_compl
+from ..ops.myers import MAX_PATTERN_LEN, build_peq_multi, match_block_min
+from ..ops.match_pallas import (
+    DEF_BP,
+    DEF_BR,
+    match_best_tpu,
+    match_min_tpu,
+    prep_peq_cols,
+    prep_segs_T,
+)
+from ..utils import batch_iter, cdiv, round_up
+
+PASS1_CHUNK = 131072  # segments per device call
+PASS2_CHUNK = 2048
+TOPK_INIT = 16
+
+
+@dataclasses.dataclass
+class MatchResult:
+    """Per-read match output for matched reads only (reference omits the rest)."""
+
+    rids: np.ndarray  # (M,) int64 read ids, ascending
+    dists: np.ndarray  # (M,) int32 min edit distance (<= max_error)
+    ties: list[np.ndarray]  # per matched read: sorted pattern ids p=2*bid+strand
+
+
+def _use_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _build_patterns(barcodes: Sequence[str], bl: int) -> np.ndarray:
+    """Interleaved (2N, bl) lenient code array: p=2*bid rc, p=2*bid+1 fwd."""
+    pats: list[str] = []
+    for b in barcodes:
+        pats.append(rev_compl(b))  # strand False first (sort order)
+        pats.append(b)
+    codes, _ = encode_seqs(pats, pad_to=bl, table=LENIENT_TABLE)
+    return codes
+
+
+def _seg_buckets(lengths: np.ndarray) -> list[int]:
+    buckets = [32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+    mx = int(lengths.max(initial=0))
+    if mx > buckets[-1]:
+        buckets.append(round_up(mx, 128))
+    return buckets
+
+
+def _min_dist_jnp_chunked(seg_T: np.ndarray, peq: np.ndarray, m: int) -> np.ndarray:
+    """jnp fallback of pass 1 with pattern-axis chunking (CPU testing path)."""
+    P = peq.shape[1]
+    out = np.full(seg_T.shape[1], m, dtype=np.int32)
+    for s, e in batch_iter(P, 4096):
+        block = np.asarray(
+            match_block_min(jnp.asarray(seg_T), jnp.asarray(peq[:, s:e]), m)
+        )
+        np.minimum(out, block, out=out)
+    return out
+
+
+def match_segments(
+    segments: Sequence[str],
+    barcodes: Sequence[str],
+    max_error: int,
+    progress: bool = False,
+) -> MatchResult:
+    """Match every segment against fwd+rc of every barcode within max_error."""
+    bl = len(barcodes[0])
+    assert bl <= MAX_PATTERN_LEN, (
+        f"barcode length {bl} exceeds single-word Myers limit {MAX_PATTERN_LEN}"
+    )
+    pat_codes = _build_patterns(barcodes, bl)
+    peq = build_peq_multi(pat_codes)  # (5, 2N)
+    n_pat = pat_codes.shape[0]
+    on_tpu = _use_tpu()
+    peq_pm = prep_peq_cols(peq, bp=DEF_BP) if on_tpu else None
+
+    n = len(segments)
+    lengths = np.fromiter((len(s) for s in segments), count=n, dtype=np.int32)
+    buckets = _seg_buckets(lengths)
+
+    min_dist = np.full(n, bl, dtype=np.int32)
+    order = np.argsort(lengths, kind="stable")
+
+    # ---- pass 1: min distance per segment, bucketed by length -------------
+    lo = 0
+    for ls in buckets:
+        hi = int(np.searchsorted(lengths[order], ls, side="right"))
+        idx = order[lo:hi]
+        lo = hi
+        if idx.size == 0:
+            continue
+        if progress:
+            print(
+                f"[match] pass1 bucket<= {ls}: {idx.size} segments",
+                file=sys.stderr,
+            )
+        for s, e in batch_iter(idx.size, PASS1_CHUNK):
+            sub = idx[s:e]
+            seg_codes, _ = encode_seqs(
+                [segments[i] for i in sub], pad_to=ls, table=LENIENT_TABLE
+            )
+            if on_tpu:
+                seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR)
+                d = np.asarray(
+                    match_min_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
+                )[0, : sub.size]
+            else:
+                seg_T = seg_codes.astype(np.int32).T
+                d = _min_dist_jnp_chunked(seg_T, peq, bl)[: sub.size]
+            min_dist[sub] = d
+
+    matched = np.flatnonzero(min_dist <= max_error)
+
+    # ---- pass 2: tie sets for matched reads -------------------------------
+    ties: dict[int, np.ndarray] = {}
+    for s, e in batch_iter(matched.size, PASS2_CHUNK):
+        sub = matched[s:e]
+        sub_lens = lengths[sub]
+        ls = next(b for b in buckets if int(sub_lens.max(initial=1)) <= b)
+        seg_codes, _ = encode_seqs(
+            [segments[i] for i in sub], pad_to=ls, table=LENIENT_TABLE
+        )
+        target = min_dist[sub]
+        if on_tpu:
+            seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR)
+            best_t = match_best_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
+        else:
+            best_t = _best_matrix_jnp_t(seg_codes, peq, bl)
+        _collect_ties(best_t, target, sub, n_pat, ties)
+
+    return MatchResult(
+        rids=matched.astype(np.int64),
+        dists=min_dist[matched],
+        ties=[ties[int(r)] for r in matched],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_pat", "k"))
+def _topk_hits(best_t, target, n_pat: int, k: int):
+    """best_t: (P_pad, Rc) int8; target: (Rc,) int32.
+
+    Returns (cnt (Rc,), idx (Rc, k)): hit count per read and the first k hit
+    pattern ids in ascending order (lax.top_k is index-stable for ties).
+    """
+    hits = (best_t[:n_pat, :].astype(jnp.int32).T == target[:, None]).astype(
+        jnp.int32
+    )
+    cnt = hits.sum(axis=1)
+    _, idx = jax.lax.top_k(hits, k)
+    return cnt, idx
+
+
+def _collect_ties(best_t, target_np, sub, n_pat: int, ties: dict) -> None:
+    """Extract per-read argmin tie sets from a device best matrix via top_k,
+    escalating k for the rare reads whose tie set overflows."""
+    rc = sub.size
+    target = jnp.asarray(np.pad(target_np, (0, best_t.shape[1] - rc)))
+    k = min(TOPK_INIT, n_pat)
+    cnt, idx = _topk_hits(best_t, target, n_pat, k)
+    cnt = np.asarray(cnt)[:rc]
+    idx = np.asarray(idx)[:rc]
+    for r in range(rc):
+        c = int(cnt[r])
+        if c <= k:
+            ties[int(sub[r])] = idx[r, :c].astype(np.int64)
+    overflow = np.flatnonzero(cnt > k)
+    while overflow.size:
+        k = min(max(int(cnt[overflow].max()), 2 * k), n_pat)
+        _, idx2 = _topk_hits(best_t, target, n_pat, k)
+        idx2 = np.asarray(idx2)
+        for r in overflow:
+            ties[int(sub[r])] = idx2[r, : int(cnt[r])].astype(np.int64)
+        overflow = np.array([], dtype=np.int64)
+
+
+def _best_matrix_jnp_t(seg_codes: np.ndarray, peq: np.ndarray, m: int):
+    """jnp fallback: (P, Rc) int8 best-distance matrix, pattern-chunked."""
+    seg_T = jnp.asarray(seg_codes.astype(np.int32).T)
+    P = peq.shape[1]
+    cols = []
+    for s, e in batch_iter(P, 4096):
+        cols.append(_best_block_jnp(seg_T, jnp.asarray(peq[:, s:e]), m))
+    return jnp.concatenate(cols, axis=1).astype(jnp.int8).T
+
+
+def _best_block_jnp(seg_T, peq, m: int):
+    from ..ops.myers import _eq_lookup, _step
+
+    lane_shape = (seg_T.shape[1], peq.shape[1])
+    pv0 = jnp.full(lane_shape, -1, jnp.int32)
+    mv0 = jnp.zeros(lane_shape, jnp.int32)
+    s0 = jnp.full(lane_shape, m, jnp.int32)
+
+    def step(carry, c):
+        pv, mv, score, best = carry
+        eq = _eq_lookup(peq, c)
+        pv, mv, score = _step(pv, mv, score, eq, m, shw=False)
+        return (pv, mv, score, jnp.minimum(best, score)), None
+
+    (_, _, _, best), _ = jax.lax.scan(step, (pv0, mv0, s0, s0), seg_T)
+    return best

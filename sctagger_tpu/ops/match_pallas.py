@@ -1,0 +1,166 @@
+"""Pallas TPU kernels for dense segment x whitelist infix edit distance.
+
+This is the flagship compute path (BASELINE.json north-star: replaces the
+reference's Python trie DFS, scTagger.py:526-716, with a dense all-pairs
+bit-parallel DP on the VPU).
+
+Layout decisions (TPU-first):
+  * State arrays are (BP, BR): patterns on the sublane axis, reads (segments)
+    on the lane axis. The per-character text code row (1, BR) then broadcasts
+    along sublanes and the per-pattern Peq column (BP, 1) along lanes — both
+    native VPU broadcasts, no transposes inside the hot loop.
+  * Segments are stored position-major (Ls, R) so each DP step reads one
+    contiguous row; Peq is stored pattern-major (P, 8) (columns 0..4 used,
+    padded to 8 sublanes... transposed: row p = bitmasks of pattern p per
+    character code).
+  * Grid is (R/BR, P/BP) with the pattern axis innermost; the (1, BR) output
+    block is revisited across the inner axis and min-accumulated in VMEM.
+
+Padding: segment padding uses code 4 (matches nothing), which can never
+lower an infix distance, so no validity masking is needed for the min pass.
+Pattern-axis padding uses all-zero Peq (empty pattern ... distance stays m),
+likewise harmless; callers slice the (P,) axis back. Read-axis padding rows
+produce garbage mins that callers slice away.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+from ..utils import cdiv, round_up
+
+DEF_BR = 512  # reads per block (lanes)
+DEF_BP = 256  # patterns per block (sublanes)
+
+
+def _myers_hw_step(pv, mv, score, eq, m: int):
+    high = jnp.int32(1 << (m - 1))
+    xv = eq | mv
+    xh = (((eq & pv) + pv) ^ pv) | eq
+    ph = mv | ~(xh | pv)
+    mh = pv & xh
+    score = score + ((ph & high) != 0).astype(jnp.int32)
+    score = score - ((mh & high) != 0).astype(jnp.int32)
+    ph = ph << 1
+    mh = mh << 1
+    pv = mh | ~(xv | ph)
+    mv = ph & xv
+    return pv, mv, score
+
+
+def _eq_from_row(c_row, peq_cols, bp, br):
+    """c_row: (1, BR) codes; peq_cols: list of 4 (BP, 1) columns -> (BP, BR)."""
+    eq = jnp.zeros((bp, br), jnp.int32)
+    for b in range(4):
+        eq = jnp.where(c_row == b, peq_cols[b], eq)
+    return eq
+
+
+def _match_min_kernel(seg_ref, peq_ref, out_ref, *, m: int, ls: int):
+    bp, br = peq_ref.shape[0], seg_ref.shape[1]
+    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (BP, 1) each
+
+    pv0 = jnp.full((bp, br), -1, jnp.int32)
+    mv0 = jnp.zeros((bp, br), jnp.int32)
+    s0 = jnp.full((bp, br), m, jnp.int32)
+
+    def body(j, carry):
+        pv, mv, score, best = carry
+        c_row = seg_ref[pl.ds(j, 1), :]  # (1, BR)
+        eq = _eq_from_row(c_row, peq_cols, bp, br)
+        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
+        return pv, mv, score, jnp.minimum(best, score)
+
+    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+    row_min = jnp.min(best, axis=0, keepdims=True)  # (1, BR)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:, :] = row_min
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[:, :] = jnp.minimum(out_ref[:, :], row_min)
+
+
+def _match_best_kernel(seg_ref, peq_ref, out_ref, *, m: int, ls: int):
+    """Writes the full per-(pattern, read) best-distance block (pass 2)."""
+    bp, br = peq_ref.shape[0], seg_ref.shape[1]
+    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (BP, 1) each
+
+    pv0 = jnp.full((bp, br), -1, jnp.int32)
+    mv0 = jnp.zeros((bp, br), jnp.int32)
+    s0 = jnp.full((bp, br), m, jnp.int32)
+
+    def body(j, carry):
+        pv, mv, score, best = carry
+        c_row = seg_ref[pl.ds(j, 1), :]  # (1, BR)
+        eq = _eq_from_row(c_row, peq_cols, bp, br)
+        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
+        return pv, mv, score, jnp.minimum(best, score)
+
+    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+    out_ref[:, :] = jnp.minimum(best, 127).astype(jnp.int8)
+
+
+def prep_peq_cols(peq_5p: np.ndarray, bp: int = DEF_BP) -> np.ndarray:
+    """(5, P) Peq -> pattern-major (P_pad, 8) int32 for the kernels."""
+    P = peq_5p.shape[1]
+    out = np.zeros((round_up(max(P, 1), bp), 8), dtype=np.int32)
+    out[:P, :5] = peq_5p.T
+    return out
+
+
+def prep_segs_T(seg_codes: np.ndarray, ls: int, br: int = DEF_BR) -> np.ndarray:
+    """(R, L) uint8 codes -> position-major (ls, R_pad) int32, pad code 4."""
+    R = seg_codes.shape[0]
+    out = np.full((ls, round_up(max(R, 1), br)), 4, dtype=np.int32)
+    out[: min(ls, seg_codes.shape[1]), :R] = seg_codes.T[:ls].astype(np.int32)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("m", "br", "bp"))
+def match_min_tpu(seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP):
+    """Min infix distance per segment over all patterns.
+
+    seg_T: (Ls, R_pad) int32 position-major codes (R_pad % br == 0).
+    peq_pm: (P_pad, 8) int32 pattern-major Peq (P_pad % bp == 0).
+    Returns (1, R_pad) int32.
+    """
+    ls, r = seg_T.shape
+    p = peq_pm.shape[0]
+    grid = (r // br, p // bp)
+    return pl.pallas_call(
+        functools.partial(_match_min_kernel, m=m, ls=ls),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, r), jnp.int32),
+    )(seg_T, peq_pm)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "br", "bp"))
+def match_best_tpu(seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP):
+    """Full best-distance matrix, transposed: (P_pad, R_pad) int8."""
+    ls, r = seg_T.shape
+    p = peq_pm.shape[0]
+    grid = (r // br, p // bp)
+    return pl.pallas_call(
+        functools.partial(_match_best_kernel, m=m, ls=ls),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, br), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, r), jnp.int8),
+    )(seg_T, peq_pm)

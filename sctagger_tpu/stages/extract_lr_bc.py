@@ -1,0 +1,74 @@
+"""`extract_lr_bc` stage driver — adapter localization on long reads.
+
+Mirrors the reference pipeline (scTagger.py:362-383): FASTQ ingest ->
+adapter scan (device) -> global range detection (host, unless preset via -g)
+-> per-read filtering -> TSV (gzipped whenever -o is given) -> optional plot.
+
+Output row (scTagger.py:317-320): rname \t dist \t loc \t seq[s:e or None]
+with Python slicing semantics (negative indices, e==0 -> slice to end), and
+dist=-1 / loc='NA' / empty segment for invalid reads.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.ranges import RangeMembership, detect_ranges, filter_alignments
+from ..io.fastq import read_fastqs
+from ..io.tsv import open_out
+from ..models.adapter import scan_adapters
+
+
+def run(args) -> None:
+    rnames, seqs = read_fastqs(args.reads, args.gzipped)
+    print(
+        f"Aligning {args.short_read_adapter} to {len(seqs)} reads",
+        file=sys.stderr,
+    )
+    scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
+
+    preset = args.ranges
+    if len(preset[0]) + len(preset[1]) == 0:
+        print(
+            "No ranges for SR adapters have been preset. "
+            "Detecting directly from data...",
+            file=sys.stderr,
+        )
+        read_of = np.repeat(np.arange(len(seqs)), scan.loc_counts)
+        in_window = (scan.dists >= 0) & (scan.dists <= 5)
+        sel = in_window[read_of]
+        is_fwd = (scan.strands == 0)[read_of]
+        ranges = detect_ranges(
+            scan.flat_locs[sel & is_fwd], scan.flat_locs[sel & ~is_fwd]
+        )
+        memberships = [RangeMembership(r, include_end=False) for r in ranges]
+    else:
+        memberships = [RangeMembership(r, include_end=True) for r in preset]
+
+    print("Filtering alignments using ranges", file=sys.stderr)
+    dist, loc, s, e, valid = filter_alignments(
+        scan.strands,
+        scan.dists,
+        scan.flat_locs,
+        scan.loc_counts,
+        memberships,
+        args.num_bp_after,
+    )
+
+    outfile = open_out(args.outfile, force_gzip=True)
+    print(f"Writng to {outfile}", file=sys.stderr)
+    for i, (rname, seq) in enumerate(zip(rnames, seqs)):
+        if valid[i]:
+            si, ei = int(s[i]), int(e[i])
+            outfile.write(f"{rname}\t{dist[i]}\t{loc[i]}\t{seq[si:ei or None]}\n")
+        else:
+            outfile.write(f"{rname}\t-1\tNA\t{seq[-1:-1]}\n")
+    if outfile is not sys.stdout:
+        outfile.close()
+
+    if args.plotfile is not None:
+        from ..plots import plot_extract_lr_bc
+
+        plot_extract_lr_bc(rnames, dist, args.plotfile)

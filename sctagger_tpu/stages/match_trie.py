@@ -1,0 +1,52 @@
+"""`match_trie` stage driver — TSV-parity port of the reference's flagship.
+
+Input/behavior contract (scTagger.py:758-790):
+  * barcodes: col 0 of the SR TSV, in file order (bid = line index); all must
+    have uniform length == --barcode-length (asserted).
+  * long reads: cols 0 and 3 of EVERY row of the LR TSV (including dist=-1
+    rows, whose segment is empty and can never match).
+  * output row per MATCHED read only, ascending read id:
+      name \t e \t len(bids) \t seg \t bc1,bc2,...
+    where the tie list is sorted by (bid, strand) with strand False (revcomp)
+    before True (forward), and revcomp matches print rev_compl(barcode).
+  * output gzipped only if the path ends with 'gz'.
+  * --mem and --plotfile are accepted and unused (reference parity:
+    scTagger.py:88-95,141 — parsed, never consumed).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..core.packing import rev_compl
+from ..io.tsv import open_out, read_lr_segments_tsv, read_sr_barcodes_tsv
+from ..models.matcher import match_segments
+
+
+def run(args) -> None:
+    barcodes = read_sr_barcodes_tsv(args.short_read_barcodes)
+    print(f"There are {len(barcodes):,} SR barcodes", file=sys.stderr)
+    barcode_lens = {len(b) for b in barcodes}
+    assert barcode_lens == {args.barcode_length}, barcode_lens
+
+    names, _, _, segs = read_lr_segments_tsv(args.long_read_segments)
+    print(f"There are {len(names):,} LRs", file=sys.stderr)
+
+    result = match_segments(
+        segments=segs,
+        barcodes=barcodes,
+        max_error=args.max_error,
+        progress=True,
+    )
+
+    outfile = open_out(args.outfile, force_gzip=False)
+    for rid, e, ties in zip(result.rids, result.dists, result.ties):
+        name = names[rid]
+        seg = segs[rid]
+        matches = ",".join(
+            barcodes[p // 2] if p % 2 else rev_compl(barcodes[p // 2])
+            for p in ties
+        )
+        outfile.write(f"{name}\t{e}\t{len(ties)}\t{seg}\t{matches}\n")
+    if outfile is not sys.stdout:
+        outfile.close()

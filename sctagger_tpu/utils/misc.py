@@ -1,0 +1,32 @@
+"""Small shared helpers (no JAX imports — usable host-side everywhere)."""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+
+def cdiv(a: int, b: int) -> int:
+    """Ceiling division."""
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    """Round ``x`` up to the nearest multiple of ``m``."""
+    return cdiv(x, m) * m
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; buckets must be sorted ascending.
+
+    Raises ValueError if ``n`` exceeds the largest bucket.
+    """
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds largest bucket {buckets[-1]}")
+
+
+def batch_iter(n: int, batch: int) -> Iterator[tuple[int, int]]:
+    """Yield (start, stop) index pairs covering range(n) in chunks of ``batch``."""
+    for s in range(0, n, batch):
+        yield s, min(s + batch, n)

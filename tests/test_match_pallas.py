@@ -1,0 +1,91 @@
+"""Pallas match kernels vs the jnp scan implementation (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sctagger_tpu.core import LENIENT_TABLE, encode_seqs
+from sctagger_tpu.ops import build_peq_multi, match_block_min
+from sctagger_tpu.ops.match_pallas import (
+    _match_best_kernel,
+    _match_min_kernel,
+    prep_peq_cols,
+    prep_segs_T,
+)
+
+from oracle import mutate, random_dna
+
+
+def _pallas_min_interp(seg_T, peq_pm, m, br, bp):
+    ls, r = seg_T.shape
+    p = peq_pm.shape[0]
+    return pl.pallas_call(
+        functools.partial(_match_min_kernel, m=m, ls=ls),
+        grid=(r // br, p // bp),
+        in_specs=[
+            pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, r), jnp.int32),
+        interpret=True,
+    )(seg_T, peq_pm)
+
+
+def _pallas_best_interp(seg_T, peq_pm, m, br, bp):
+    ls, r = seg_T.shape
+    p = peq_pm.shape[0]
+    return pl.pallas_call(
+        functools.partial(_match_best_kernel, m=m, ls=ls),
+        grid=(r // br, p // bp),
+        in_specs=[
+            pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, br), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, r), jnp.int8),
+        interpret=True,
+    )(seg_T, peq_pm)
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    rng = np.random.default_rng(11)
+    barcodes = [random_dna(rng, 16) for _ in range(40)]
+    segs = []
+    for _ in range(70):
+        n = int(rng.integers(0, 36))
+        s = random_dna(rng, n)
+        if rng.random() < 0.6:
+            bc = barcodes[rng.integers(len(barcodes))]
+            s = s[: n // 2] + mutate(rng, bc, int(rng.integers(0, 3))) + s[n // 2 :]
+        segs.append(s)
+    seg_codes, _ = encode_seqs(segs, pad_to=64, table=LENIENT_TABLE)
+    peq = build_peq_multi(encode_seqs(barcodes, pad_to=16, table=LENIENT_TABLE)[0])
+    return segs, barcodes, seg_codes, peq
+
+
+def test_pallas_min_matches_jnp(small_problem):
+    segs, barcodes, seg_codes, peq = small_problem
+    br, bp = 128, 8
+    seg_T = prep_segs_T(seg_codes, ls=64, br=br)
+    peq_pm = prep_peq_cols(peq, bp=bp)
+    got = np.asarray(_pallas_min_interp(seg_T, peq_pm, 16, br, bp))[0]
+    ref = np.asarray(match_block_min(seg_T[:, : len(segs)], jnp.asarray(peq), 16))
+    np.testing.assert_array_equal(got[: len(segs)], ref)
+
+
+def test_pallas_best_matches_jnp(small_problem):
+    segs, barcodes, seg_codes, peq = small_problem
+    br, bp = 128, 8
+    seg_T = prep_segs_T(seg_codes, ls=64, br=br)
+    peq_pm = prep_peq_cols(peq, bp=bp)
+    best = np.asarray(_pallas_best_interp(seg_T, peq_pm, 16, br, bp))
+    ref_min = np.asarray(match_block_min(seg_T[:, : len(segs)], jnp.asarray(peq), 16))
+    got_min = best[: len(barcodes), : len(segs)].min(axis=0)
+    np.testing.assert_array_equal(got_min, ref_min)
