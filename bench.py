@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Benchmark: LR segments matched per second per chip (BASELINE.json metric).
+
+Workload: mr=2, bl=16, 25K-barcode whitelist (=> 50K fwd+rc patterns),
+synthetic ~24bp segments with planted barcodes — the reference match_trie
+configuration. Measures the full two-pass device match (min-distance pass +
+tie-extraction pass) via models.matcher.match_segments, end to end excluding
+file I/O.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "segments/s", "vs_baseline": N}
+
+vs_baseline is against the reference match_trie throughput measured ON THIS
+HOST (see tools/measure_reference.py): single-thread segments/s scaled by the
+reference's declared 32-thread envelope (Snakefile:128-132) — i.e. an
+idealized linear-scaling 32-core CPU reference, a deliberately generous
+baseline. The repo publishes no perf numbers of its own (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference match_trie on this host, 20K segments x 25K barcodes, mr=2,
+# threads=1 (measured via tools/measure_reference.py): see REF_MEASURE below.
+REF_SEGS_PER_SEC_1T = 33.3  # updated by tools/measure_reference.py runs
+REF_THREADS = 32  # Snakefile:130 resource envelope
+
+
+def make_inputs(n_segs: int, n_barcodes: int = 25_000, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # unique barcodes
+    seen = set()
+    while len(seen) < n_barcodes:
+        chunk = alpha[rng.integers(0, 4, size=(n_barcodes, 16))]
+        for row in chunk:
+            seen.add(row.tobytes())
+            if len(seen) >= n_barcodes:
+                break
+    barcodes = [b.decode() for b in sorted(seen)]
+
+    segs = []
+    bc_idx = rng.integers(0, n_barcodes, size=n_segs)
+    errs = rng.integers(0, 3, size=n_segs)
+    for i in range(n_segs):
+        pre = alpha[rng.integers(0, 4, size=4)].tobytes().decode()
+        post = alpha[rng.integers(0, 4, size=4)].tobytes().decode()
+        bc = barcodes[bc_idx[i]]
+        # cheap mutation: substitute err positions
+        if errs[i]:
+            b = bytearray(bc.encode())
+            for p in rng.integers(0, 16, size=errs[i]):
+                b[p] = alpha[rng.integers(0, 4)]
+            bc = b.decode()
+        segs.append(pre + bc + post)
+    return segs, barcodes
+
+
+def main():
+    n_segs = int(os.environ.get("SCTAG_BENCH_SEGS", 200_000))
+    from sctagger_tpu.runtime import configure_jax
+
+    configure_jax()
+    import jax
+
+    from sctagger_tpu.models.matcher import match_segments
+
+    segs, barcodes = make_inputs(n_segs)
+
+    # warmup on a slice (compiles all kernels)
+    match_segments(segs[:4096], barcodes, max_error=2)
+
+    t0 = time.perf_counter()
+    result = match_segments(segs, barcodes, max_error=2)
+    dt = time.perf_counter() - t0
+
+    rate = n_segs / dt
+    baseline = REF_SEGS_PER_SEC_1T * REF_THREADS
+    print(
+        json.dumps(
+            {
+                "metric": "lr_segments_matched_per_sec_per_chip",
+                "value": round(rate, 1),
+                "unit": "segments/s",
+                "vs_baseline": round(rate / baseline, 2),
+                "detail": {
+                    "n_segments": n_segs,
+                    "n_barcodes": len(barcodes),
+                    "mr": 2,
+                    "wall_s": round(dt, 3),
+                    "matched": int(result.rids.size),
+                    "backend": jax.default_backend(),
+                    "baseline_segs_per_sec": baseline,
+                    "baseline_note": (
+                        "reference match_trie measured on this host at "
+                        f"{REF_SEGS_PER_SEC_1T} segs/s single-thread, scaled "
+                        f"x{REF_THREADS} (ideal linear) for the Snakefile "
+                        "32-thread envelope"
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,19 @@ def parse_args(argv=None):
     p_mt.add_argument("-o", "--outfile", type=str, default=None,
                       help="Path to output file. Default: stdout")
 
+    # Additive surface (not in the reference): the Snakefile-equivalent runner.
+    p_pl = subparsers.add_parser("pipeline")
+    p_pl.add_argument("-c", "--config", type=str, default="config.yaml",
+                      help="Sample-sheet YAML (reference config.yaml schema). "
+                           "Default: config.yaml")
+    p_pl.add_argument("-s", "--samples", nargs="*", type=str, default=None,
+                      help="Subset of samples to run. Default: all")
+    p_pl.add_argument("-t", "--threads", default=32, type=int,
+                      help="Host threads for external tools. Default: 32")
+    p_pl.add_argument("--from-lr-only", action="store_true",
+                      help="Skip the cellranger/BAM branch; run only the "
+                           "LR-derived whitelist path")
+
     args = parser.parse_args(argv)
 
     if args.subcommand == "extract_lr_bc":
@@ -167,6 +180,14 @@ def main(argv=None):
     elif args.subcommand == "match_trie":
         from .stages import match_trie
         match_trie.run(args)
+    elif args.subcommand == "pipeline":
+        from .pipeline import run_pipeline
+        run_pipeline(
+            args.config,
+            samples=args.samples,
+            threads=args.threads,
+            from_lr_only=args.from_lr_only,
+        )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,64 @@
+"""BAM CB-tag extraction via the native C++ BGZF/BAM reader.
+
+Replaces the reference's pysam/htslib dependency (scTagger.py:433-466). The
+native reader streams the whole coordinate-sorted BAM sequentially — the same
+record set pysam's per-contig fetch() yields, without needing a .bai index —
+and counts barcodes with first-appearance ordering (== the reference's
+Counter insertion order for its -t 1 sequential behavior; with more threads
+the reference's equal-count ordering is nondeterministic, see SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..native.build import load
+
+_lib = None
+
+
+def _get_lib():
+    global _lib
+    if _lib is None:
+        _lib = load()
+    return _lib
+
+
+def extract_cb_counts(path: str) -> tuple[list[str], np.ndarray, int]:
+    """Returns (barcodes in first-appearance order, counts, total kept records).
+
+    total counts records mapped to a contig with flag <= 256 (including those
+    without a usable CB tag, which contribute no barcode) — reference
+    read_bam_contig semantics (scTagger.py:453-466).
+    """
+    lib = _get_lib()
+    barcodes_p = ctypes.c_char_p()
+    counts_p = ctypes.POINTER(ctypes.c_int64)()
+    n_unique = ctypes.c_int64()
+    total = ctypes.c_int64()
+    error_p = ctypes.c_char_p()
+    rc = lib.sctag_extract_cb(
+        path.encode(),
+        ctypes.byref(barcodes_p),
+        ctypes.byref(counts_p),
+        ctypes.byref(n_unique),
+        ctypes.byref(total),
+        ctypes.byref(error_p),
+    )
+    if rc != 0:
+        msg = (error_p.value or b"unknown error").decode()
+        lib.sctag_free(ctypes.cast(error_p, ctypes.c_void_p))
+        raise RuntimeError(f"BAM read failed for {path}: {msg}")
+    try:
+        raw = barcodes_p.value or b""
+        barcodes = raw.decode().split("\n")[:-1] if raw else []
+        n = n_unique.value
+        counts = np.ctypeslib.as_array(counts_p, shape=(n,)).copy() if n else (
+            np.empty(0, dtype=np.int64)
+        )
+    finally:
+        lib.sctag_free(ctypes.cast(barcodes_p, ctypes.c_void_p))
+        lib.sctag_free(ctypes.cast(counts_p, ctypes.c_void_p))
+    return barcodes, counts, total.value

@@ -44,7 +44,8 @@ from ..ops.match_pallas import (
 )
 from ..utils import batch_iter, cdiv, round_up
 
-PASS1_CHUNK = 131072  # segments per device call
+PASS1_CHUNK = 131072  # segments per device call (large shape)
+PASS1_SMALL = 4096  # small fixed shape for tiny inputs / final slivers
 PASS2_CHUNK = 2048
 TOPK_INIT = 16
 
@@ -135,7 +136,9 @@ def match_segments(
                 [segments[i] for i in sub], pad_to=ls, table=LENIENT_TABLE
             )
             if on_tpu:
-                seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR)
+                # two fixed shapes only (small/large) to bound recompiles
+                r_pad = PASS1_SMALL if sub.size <= PASS1_SMALL else PASS1_CHUNK
+                seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=r_pad)
                 d = np.asarray(
                     match_min_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
                 )[0, : sub.size]
@@ -157,7 +160,9 @@ def match_segments(
         )
         target = min_dist[sub]
         if on_tpu:
-            seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR)
+            seg_T = prep_segs_T(
+                seg_codes, ls=ls, br=DEF_BR, r_pad=PASS2_CHUNK
+            )
             best_t = match_best_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
         else:
             best_t = _best_matrix_jnp_t(seg_codes, peq, bl)

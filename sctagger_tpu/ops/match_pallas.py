@@ -117,10 +117,18 @@ def prep_peq_cols(peq_5p: np.ndarray, bp: int = DEF_BP) -> np.ndarray:
     return out
 
 
-def prep_segs_T(seg_codes: np.ndarray, ls: int, br: int = DEF_BR) -> np.ndarray:
-    """(R, L) uint8 codes -> position-major (ls, R_pad) int32, pad code 4."""
+def prep_segs_T(
+    seg_codes: np.ndarray, ls: int, br: int = DEF_BR, r_pad: int | None = None
+) -> np.ndarray:
+    """(R, L) uint8 codes -> position-major (ls, R_pad) int32, pad code 4.
+
+    ``r_pad`` fixes the padded read count (e.g. the stage chunk size) so every
+    chunk reuses one compiled kernel shape; defaults to rounding up to br.
+    """
     R = seg_codes.shape[0]
-    out = np.full((ls, round_up(max(R, 1), br)), 4, dtype=np.int32)
+    rp = round_up(max(R, 1), br) if r_pad is None else r_pad
+    assert rp % br == 0 and rp >= R, (rp, br, R)
+    out = np.full((ls, rp), 4, dtype=np.int32)
     out[: min(ls, seg_codes.shape[1]), :R] = seg_codes.T[:ls].astype(np.int32)
     return out
 

@@ -15,3 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if not os.environ.get("SCTAG_TEST_TPU"):
+    # The axon sitecustomize pins jax_platforms="axon,cpu" via jax.config at
+    # interpreter startup, overriding the env var — override it back before
+    # any backend initializes.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -54,13 +54,89 @@ def align(query, target, mode, task):
 """
 
 
-def make_stub_dir(tmp_path: pathlib.Path, functional_edlib: bool = False):
+# A functional pysam substitute serving alignments from the JSON sidecar the
+# test BAM generator writes (tests/bamgen.py) — exposes exactly the API
+# surface the reference uses (scTagger.py:437-461): AlignmentFile(path,'rb'),
+# .get_index_statistics() (.contig/.total), .header['SQ'] ({'SN':...}),
+# .fetch(contig=...) yielding objects with .flag and .tags.
+_PYSAM_ORACLE = """
+import json
+from types import SimpleNamespace
+
+
+class _Aln:
+    __slots__ = ("flag", "tags")
+
+    def __init__(self, d):
+        self.flag = d["flag"]
+        self.tags = [tuple(t) for t in d.get("tags", [])]
+
+
+class AlignmentFile:
+    def __init__(self, path, mode="rb"):
+        with open(path + ".pysam.json") as f:
+            self._d = json.load(f)
+
+    def get_index_statistics(self):
+        return [
+            SimpleNamespace(contig=c, total=len(self._d["alns"].get(c, [])))
+            for c in self._d["contigs"]
+        ]
+
+    @property
+    def header(self):
+        return {"SQ": [{"SN": c} for c in self._d["contigs"]]}
+
+    def fetch(self, contig=None):
+        for a in self._d["alns"].get(contig, []):
+            yield _Aln(a)
+"""
+
+
+# A functional ahocorasick substitute: all reference patterns are equal-length
+# barcodes, so iter(haystack) reduces to a dict probe per window end; word
+# values overwrite on re-add exactly like the C automaton (scTagger.py:801-826).
+_AHOCORASICK_ORACLE = """
+class Automaton:
+    def __init__(self):
+        self._d = {}
+        self._len = None
+
+    def add_word(self, word, value):
+        assert self._len is None or self._len == len(word), "equal-length only"
+        self._len = len(word)
+        self._d[word] = value
+
+    def make_automaton(self):
+        pass
+
+    def iter(self, haystack):
+        k = self._len
+        if k is None:
+            return
+        for e in range(k - 1, len(haystack)):
+            w = haystack[e - k + 1 : e + 1]
+            if w in self._d:
+                yield e, self._d[w]
+"""
+
+
+def make_stub_dir(
+    tmp_path: pathlib.Path,
+    functional_edlib: bool = False,
+    functional_pysam: bool = False,
+    functional_ahocorasick: bool = False,
+):
     stub = tmp_path / "ref_stubs"
     stub.mkdir(exist_ok=True)
     for mod in ("edlib", "pysam", "ahocorasick"):
         (stub / f"{mod}.py").write_text(_STUB)
     if functional_edlib:
         (stub / "edlib.py").write_text(_EDLIB_ORACLE)
+    if functional_pysam:
+        (stub / "pysam.py").write_text(_PYSAM_ORACLE)
+    if functional_ahocorasick:
+        (stub / "ahocorasick.py").write_text(_AHOCORASICK_ORACLE)
     return stub
 
 
@@ -69,9 +145,16 @@ def run_reference(
     tmp_path: pathlib.Path,
     timeout=600,
     functional_edlib: bool = False,
+    functional_pysam: bool = False,
+    functional_ahocorasick: bool = False,
 ) -> str:
     """Run `scTagger.py <args>`; returns stdout. Raises on nonzero exit."""
-    stub = make_stub_dir(tmp_path, functional_edlib=functional_edlib)
+    stub = make_stub_dir(
+        tmp_path,
+        functional_edlib=functional_edlib,
+        functional_pysam=functional_pysam,
+        functional_ahocorasick=functional_ahocorasick,
+    )
     env = dict(os.environ)
     tests_dir = str(pathlib.Path(__file__).parent)
     env["PYTHONPATH"] = f"{stub}{os.pathsep}{tests_dir}"
