@@ -28,10 +28,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Reference match_trie on this host, 20K segments x 25K barcodes, mr=2,
-# threads=1 (measured via tools/measure_reference.py): see REF_MEASURE below.
-REF_SEGS_PER_SEC_1T = 33.3  # updated by tools/measure_reference.py runs
-REF_THREADS = 32  # Snakefile:130 resource envelope
+# Reference match_trie on this host: 20K segments x 25K barcodes, mr=2,
+# threads=1 -> 1267.3s = 15.8 segs/s (tools/measure_reference.py, 2026-08-17).
+REF_SEGS_PER_SEC_1T = 15.8
+REF_THREADS = 32  # Snakefile:130 resource envelope (ideal linear scaling)
 
 
 def make_inputs(n_segs: int, n_barcodes: int = 25_000, seed: int = 0):

@@ -84,6 +84,7 @@ def scan_adapters(
     adapter: str,
     threads: int = 1,
     progress: bool = False,
+    force_kernel: bool = False,
 ) -> AdapterScanResult:
     """Full stage-1 device scan over all reads."""
     m = len(adapter)
@@ -112,6 +113,11 @@ def scan_adapters(
     rev_tasks_rid: list[np.ndarray] = []  # read ids per pending rev task
     rev_tasks_end: list[np.ndarray] = []
 
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = on_tpu or force_kernel
+    peq2_np = np.asarray(peq2)
+    overflow_rids: list[int] = []  # cnt > SLOTS_K: need the full mask path
+
     lo = 0
     for L in buckets:
         hi = int(np.searchsorted(lengths[order], L, side="right"))
@@ -119,37 +125,43 @@ def scan_adapters(
         lo = hi
         if idx.size == 0:
             continue
-        chunk = _CHUNK_FOR.get(L, 16)
+        chunk = _CHUNK_FOR.get(L, 16) * (8 if use_kernel else 1)
         if progress:
             print(f"[scan] bucket<= {L}: {idx.size} reads", file=sys.stderr)
         for s, e in batch_iter(idx.size, chunk):
             sub = idx[s:e]
             codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
-            d, mask = _hw_block(
-                jnp.asarray(codes.astype(np.int32).T),
-                peq2,
-                jnp.asarray(lengths[sub]),
-                m,
-            )
-            d = np.asarray(d)
-            mask = np.asarray(mask)
-            d1, d2 = d[:, 0], d[:, 1]
-            fwd = d1 < d2
-            rev = d2 < d1
-            strands[sub[fwd]] = 0
-            strands[sub[rev]] = 1
-            dists[sub[fwd]] = d1[fwd]
-            dists[sub[rev]] = d2[rev]
-            # forward locs = optimal end positions
-            for bi in np.flatnonzero(fwd):
-                locs_per_read[sub[bi]] = np.flatnonzero(mask[:, bi, 0]).astype(
-                    np.int64
+            if use_kernel:
+                _kernel_chunk(
+                    codes, lengths[sub], peq2_np, m, sub,
+                    strands, dists, locs_per_read,
+                    rev_tasks_rid, rev_tasks_end, overflow_rids,
+                    interpret=not on_tpu,
                 )
-            # reverse strand: queue (rid, end) tasks for start recovery
-            for bi in np.flatnonzero(rev):
-                ends = np.flatnonzero(mask[:, bi, 1]).astype(np.int64)
-                rev_tasks_rid.append(np.full(ends.size, sub[bi], dtype=np.int64))
-                rev_tasks_end.append(ends)
+            else:
+                _mask_chunk(
+                    codes, lengths[sub], peq2, m, sub,
+                    strands, dists, locs_per_read,
+                    rev_tasks_rid, rev_tasks_end,
+                )
+
+    if overflow_rids:
+        # rare multi-site reads: recompute with full masks (jnp path)
+        if progress:
+            print(
+                f"[scan] mask fallback for {len(overflow_rids)} reads",
+                file=sys.stderr,
+            )
+        ov = np.array(sorted(overflow_rids), dtype=np.int64)
+        for s, e in batch_iter(ov.size, 256):
+            sub = ov[s:e]
+            L = int(round_up(max(lengths[sub].max(), 1), 32))
+            codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
+            _mask_chunk(
+                codes, lengths[sub], peq2, m, sub,
+                strands, dists, locs_per_read,
+                rev_tasks_rid, rev_tasks_end,
+            )
 
     _recover_rev_starts(
         seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists, locs_per_read
@@ -164,6 +176,66 @@ def scan_adapters(
         else np.empty(0, dtype=np.int64)
     )
     return AdapterScanResult(strands, dists, flat, loc_counts)
+
+
+def _mask_chunk(
+    codes, sub_lens, peq2, m, sub,
+    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end,
+):
+    """jnp mask path: exact full argmin-end sets via (L, B) masks."""
+    d, mask = _hw_block(
+        jnp.asarray(codes.astype(np.int32).T),
+        peq2 if not isinstance(peq2, np.ndarray) else jnp.asarray(peq2),
+        jnp.asarray(sub_lens.astype(np.int32)),
+        m,
+    )
+    d = np.asarray(d)
+    mask = np.asarray(mask)
+    d1, d2 = d[:, 0], d[:, 1]
+    fwd = d1 < d2
+    rev = d2 < d1
+    strands[sub[fwd]] = 0
+    strands[sub[rev]] = 1
+    dists[sub[fwd]] = d1[fwd]
+    dists[sub[rev]] = d2[rev]
+    for bi in np.flatnonzero(fwd):
+        locs_per_read[sub[bi]] = np.flatnonzero(mask[:, bi, 0]).astype(np.int64)
+    for bi in np.flatnonzero(rev):
+        ends = np.flatnonzero(mask[:, bi, 1]).astype(np.int64)
+        rev_tasks_rid.append(np.full(ends.size, sub[bi], dtype=np.int64))
+        rev_tasks_end.append(ends)
+
+
+def _kernel_chunk(
+    codes, sub_lens, peq2_np, m, sub,
+    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, overflow_rids,
+    interpret: bool = False,
+):
+    """Pallas path: first-K argmin ends per read; overflow falls back."""
+    from ..ops.adapter_pallas import SLOTS_K, adapter_scan_tpu
+
+    fwd_o, rc_o = adapter_scan_tpu(codes, sub_lens, peq2_np, m, interpret=interpret)
+    d1, d2 = fwd_o["d"], rc_o["d"]
+    fwd = d1 < d2
+    rev = d2 < d1
+    strands[sub[fwd]] = 0
+    strands[sub[rev]] = 1
+    dists[sub[fwd]] = d1[fwd]
+    dists[sub[rev]] = d2[rev]
+    for bi in np.flatnonzero(fwd):
+        c = int(fwd_o["cnt"][bi])
+        if c > SLOTS_K:
+            overflow_rids.append(int(sub[bi]))
+        else:
+            locs_per_read[sub[bi]] = fwd_o["slots"][bi][:c].astype(np.int64)
+    for bi in np.flatnonzero(rev):
+        c = int(rc_o["cnt"][bi])
+        if c > SLOTS_K:
+            overflow_rids.append(int(sub[bi]))
+        else:
+            ends = rc_o["slots"][bi][:c].astype(np.int64)
+            rev_tasks_rid.append(np.full(ends.size, sub[bi], dtype=np.int64))
+            rev_tasks_end.append(ends)
 
 
 def _recover_rev_starts(

@@ -117,7 +117,8 @@ def match_segments(
     min_dist = np.full(n, bl, dtype=np.int32)
     order = np.argsort(lengths, kind="stable")
 
-    # ---- pass 1: min distance per segment, bucketed by length -------------
+    # ---- encode once, bucketed by length ----------------------------------
+    chunks: list[tuple[np.ndarray, np.ndarray, int]] = []  # (sub, codes, ls)
     lo = 0
     for ls in buckets:
         hi = int(np.searchsorted(lengths[order], ls, side="right"))
@@ -127,52 +128,97 @@ def match_segments(
             continue
         if progress:
             print(
-                f"[match] pass1 bucket<= {ls}: {idx.size} segments",
-                file=sys.stderr,
+                f"[match] bucket<= {ls}: {idx.size} segments", file=sys.stderr
             )
         for s, e in batch_iter(idx.size, PASS1_CHUNK):
             sub = idx[s:e]
             seg_codes, _ = encode_seqs(
                 [segments[i] for i in sub], pad_to=ls, table=LENIENT_TABLE
             )
-            if on_tpu:
-                # two fixed shapes only (small/large) to bound recompiles
-                r_pad = PASS1_SMALL if sub.size <= PASS1_SMALL else PASS1_CHUNK
-                seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=r_pad)
-                d = np.asarray(
-                    match_min_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
-                )[0, : sub.size]
-            else:
-                seg_T = seg_codes.astype(np.int32).T
-                d = _min_dist_jnp_chunked(seg_T, peq, bl)[: sub.size]
-            min_dist[sub] = d
+            chunks.append((sub, seg_codes, ls))
+
+    # ---- pass 1: min distance (async dispatch, sync at the end) -----------
+    if on_tpu:
+        pending = []
+        for sub, seg_codes, ls in chunks:
+            r_pad = PASS1_SMALL if sub.size <= PASS1_SMALL else PASS1_CHUNK
+            seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=r_pad)
+            pending.append(
+                match_min_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
+            )
+        for (sub, _codes, _ls), dev in zip(chunks, pending):
+            min_dist[sub] = np.asarray(dev)[0, : sub.size]
+    else:
+        for sub, seg_codes, ls in chunks:
+            seg_T = seg_codes.astype(np.int32).T
+            min_dist[sub] = _min_dist_jnp_chunked(seg_T, peq, bl)[: sub.size]
 
     matched = np.flatnonzero(min_dist <= max_error)
+    matched_set_dists = min_dist[matched]
 
     # ---- pass 2: tie sets for matched reads -------------------------------
     ties: dict[int, np.ndarray] = {}
-    for s, e in batch_iter(matched.size, PASS2_CHUNK):
-        sub = matched[s:e]
-        sub_lens = lengths[sub]
-        ls = next(b for b in buckets if int(sub_lens.max(initial=1)) <= b)
-        seg_codes, _ = encode_seqs(
-            [segments[i] for i in sub], pad_to=ls, table=LENIENT_TABLE
-        )
-        target = min_dist[sub]
-        if on_tpu:
-            seg_T = prep_segs_T(
-                seg_codes, ls=ls, br=DEF_BR, r_pad=PASS2_CHUNK
+    if on_tpu:
+        from ..ops.match_pallas import BIG, TIES_K, match_ties_tpu
+
+        pending2 = []
+        metas = []
+        for sub, seg_codes, ls in chunks:
+            mrows = np.flatnonzero(min_dist[sub] <= max_error)
+            if mrows.size == 0:
+                continue
+            msub = sub[mrows]
+            mcodes = seg_codes[mrows]
+            r_pad = PASS1_SMALL if msub.size <= PASS1_SMALL else PASS1_CHUNK
+            seg_T = prep_segs_T(mcodes, ls=ls, br=DEF_BR, r_pad=r_pad)
+            tgt = np.zeros(r_pad, np.int32)
+            tgt[: msub.size] = min_dist[msub]
+            pending2.append(
+                match_ties_tpu(
+                    jnp.asarray(seg_T), jnp.asarray(peq_pm), jnp.asarray(tgt), bl
+                )
             )
-            best_t = match_best_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
-        else:
-            best_t = _best_matrix_jnp_t(seg_codes, peq, bl)
-        _collect_ties(best_t, target, sub, n_pat, ties)
+            metas.append((msub, mcodes, ls))
+        overflow: list[tuple[int, np.ndarray, int]] = []
+        for (msub, mcodes, ls), dev in zip(metas, pending2):
+            out = np.asarray(dev)[:, : msub.size]
+            cnts = out[0]
+            slots = out[1:].T  # (Rc, TIES_K)
+            for r in range(msub.size):
+                c = int(cnts[r])
+                if c <= TIES_K:
+                    ties[int(msub[r])] = slots[r, :c].astype(np.int64)
+                else:
+                    overflow.append((int(msub[r]), mcodes[r], ls))
+        if overflow:
+            _escalate_ties(overflow, peq_pm, min_dist, bl, n_pat, ties)
+    else:
+        for sub, seg_codes, ls in chunks:
+            mrows = np.flatnonzero(min_dist[sub] <= max_error)
+            for s, e in batch_iter(mrows.size, PASS2_CHUNK):
+                rr = mrows[s:e]
+                msub = sub[rr]
+                best_t = _best_matrix_jnp_t(seg_codes[rr], peq, bl)
+                _collect_ties(best_t, min_dist[msub], msub, n_pat, ties)
 
     return MatchResult(
         rids=matched.astype(np.int64),
-        dists=min_dist[matched],
+        dists=matched_set_dists,
         ties=[ties[int(r)] for r in matched],
     )
+
+
+def _escalate_ties(overflow, peq_pm, min_dist, bl, n_pat, ties) -> None:
+    """Reads whose tie set exceeds TIES_K: full best-matrix + top_k."""
+    ls = max(o[2] for o in overflow)
+    codes = np.full((len(overflow), ls), CODE_PAD, dtype=np.uint8)
+    for i, (_rid, c, lsi) in enumerate(overflow):
+        codes[i, : c.shape[0]] = c
+    rids = np.array([o[0] for o in overflow], dtype=np.int64)
+    for s, e in batch_iter(rids.size, PASS2_CHUNK):
+        seg_T = prep_segs_T(codes[s:e], ls=ls, br=DEF_BR, r_pad=PASS2_CHUNK)
+        best_t = match_best_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
+        _collect_ties(best_t, min_dist[rids[s:e]], rids[s:e], n_pat, ties)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pat", "k"))

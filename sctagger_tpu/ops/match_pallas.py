@@ -62,9 +62,10 @@ def _eq_from_row(c_row, peq_cols, bp, br):
     return eq
 
 
-def _match_min_kernel(seg_ref, peq_ref, out_ref, *, m: int, ls: int):
+def _match_min_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int):
     bp, br = peq_ref.shape[0], seg_ref.shape[1]
     peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (BP, 1) each
+    seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
 
     pv0 = jnp.full((bp, br), -1, jnp.int32)
     mv0 = jnp.zeros((bp, br), jnp.int32)
@@ -72,7 +73,7 @@ def _match_min_kernel(seg_ref, peq_ref, out_ref, *, m: int, ls: int):
 
     def body(j, carry):
         pv, mv, score, best = carry
-        c_row = seg_ref[pl.ds(j, 1), :]  # (1, BR)
+        c_row = seg32_ref[pl.ds(j, 1), :]  # (1, BR)
         eq = _eq_from_row(c_row, peq_cols, bp, br)
         pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
         return pv, mv, score, jnp.minimum(best, score)
@@ -89,10 +90,11 @@ def _match_min_kernel(seg_ref, peq_ref, out_ref, *, m: int, ls: int):
         out_ref[:, :] = jnp.minimum(out_ref[:, :], row_min)
 
 
-def _match_best_kernel(seg_ref, peq_ref, out_ref, *, m: int, ls: int):
+def _match_best_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int):
     """Writes the full per-(pattern, read) best-distance block (pass 2)."""
     bp, br = peq_ref.shape[0], seg_ref.shape[1]
     peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (BP, 1) each
+    seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
 
     pv0 = jnp.full((bp, br), -1, jnp.int32)
     mv0 = jnp.zeros((bp, br), jnp.int32)
@@ -100,13 +102,94 @@ def _match_best_kernel(seg_ref, peq_ref, out_ref, *, m: int, ls: int):
 
     def body(j, carry):
         pv, mv, score, best = carry
-        c_row = seg_ref[pl.ds(j, 1), :]  # (1, BR)
+        c_row = seg32_ref[pl.ds(j, 1), :]  # (1, BR)
         eq = _eq_from_row(c_row, peq_cols, bp, br)
         pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
         return pv, mv, score, jnp.minimum(best, score)
 
     _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
     out_ref[:, :] = jnp.minimum(best, 127).astype(jnp.int8)
+
+
+TIES_K = 8  # in-kernel tie slots; overflow reads escalate host-side
+BIG = 1 << 28
+
+
+def _match_ties_kernel(seg_ref, peq_ref, tgt_ref, out_ref, seg32_ref, *, m: int, ls: int):
+    """Per-read hit count + first-TIES_K hit pattern ids at the target
+    distance, accumulated across the pattern grid axis (pass 2, fused).
+
+    out rows: [0] total hit count, [1..TIES_K] slot pattern ids (BIG=empty).
+    """
+    bp, br = peq_ref.shape[0], seg_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0:1, :] = jnp.zeros((1, br), jnp.int32)
+        for t in range(TIES_K):
+            out_ref[t + 1 : t + 2, :] = jnp.full((1, br), BIG, jnp.int32)
+
+    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]
+    seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
+    pv0 = jnp.full((bp, br), -1, jnp.int32)
+    mv0 = jnp.zeros((bp, br), jnp.int32)
+    s0 = jnp.full((bp, br), m, jnp.int32)
+
+    def body(jj, carry):
+        pv, mv, score, best = carry
+        c_row = seg32_ref[pl.ds(jj, 1), :]
+        eq = _eq_from_row(c_row, peq_cols, bp, br)
+        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
+        return pv, mv, score, jnp.minimum(best, score)
+
+    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+
+    hits = best == tgt_ref[0:1, :]  # (BP, BR)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (bp, br), 0) + j * bp
+    local = jnp.where(hits, p_iota, BIG)
+
+    cnt = out_ref[0:1, :]
+    slots = [out_ref[t + 1 : t + 2, :] for t in range(TIES_K)]
+    ff = jnp.minimum(cnt, TIES_K)
+    for _k in range(TIES_K):
+        idx_k = jnp.min(local, axis=0, keepdims=True)  # (1, BR)
+        can = (idx_k < BIG) & (ff < TIES_K)
+        for t in range(TIES_K):
+            slots[t] = jnp.where(can & (ff == t), idx_k, slots[t])
+        ff = ff + can.astype(jnp.int32)
+        local = jnp.where(local == idx_k, BIG, local)
+
+    out_ref[0:1, :] = cnt + jnp.sum(hits.astype(jnp.int32), axis=0, keepdims=True)
+    for t in range(TIES_K):
+        out_ref[t + 1 : t + 2, :] = slots[t]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "br", "bp"))
+def match_ties_tpu(seg_T, peq_pm, target, m: int, br: int = DEF_BR,
+                   bp: int = DEF_BP):
+    """seg_T: (Ls, R_pad) int8; target: (R_pad,) int32 min distances.
+
+    Returns (TIES_K+1, R_pad) int32: row 0 = hit count, rows 1.. = first
+    TIES_K hit pattern ids ascending (BIG where empty).
+    """
+    ls, r = seg_T.shape
+    p = peq_pm.shape[0]
+    grid = (r // br, p // bp)
+    return pl.pallas_call(
+        functools.partial(_match_ties_kernel, m=m, ls=ls),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIES_K + 1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((TIES_K + 1, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
+    )(seg_T, peq_pm, target.reshape(1, r))
 
 
 def prep_peq_cols(peq_5p: np.ndarray, bp: int = DEF_BP) -> np.ndarray:
@@ -128,8 +211,8 @@ def prep_segs_T(
     R = seg_codes.shape[0]
     rp = round_up(max(R, 1), br) if r_pad is None else r_pad
     assert rp % br == 0 and rp >= R, (rp, br, R)
-    out = np.full((ls, rp), 4, dtype=np.int32)
-    out[: min(ls, seg_codes.shape[1]), :R] = seg_codes.T[:ls].astype(np.int32)
+    out = np.full((ls, rp), 4, dtype=np.int8)
+    out[: min(ls, seg_codes.shape[1]), :R] = seg_codes.T[:ls].astype(np.int8)
     return out
 
 
@@ -153,6 +236,7 @@ def match_min_tpu(seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP):
         ],
         out_specs=pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
     )(seg_T, peq_pm)
 
 
@@ -171,4 +255,5 @@ def match_best_tpu(seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP):
         ],
         out_specs=pl.BlockSpec((bp, br), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, r), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
     )(seg_T, peq_pm)

@@ -19,15 +19,24 @@ from ..core.ranges import RangeMembership, detect_ranges, filter_alignments
 from ..io.fastq import read_fastqs
 from ..io.tsv import open_out
 from ..models.adapter import scan_adapters
+from ..observability import stage_scope
 
 
 def run(args) -> None:
-    rnames, seqs = read_fastqs(args.reads, args.gzipped)
+    with stage_scope("extract_lr_bc") as stats:
+        _run(args, stats)
+
+
+def _run(args, stats) -> None:
+    with stats.timer("read_fastq"):
+        rnames, seqs = read_fastqs(args.reads, args.gzipped)
     print(
         f"Aligning {args.short_read_adapter} to {len(seqs)} reads",
         file=sys.stderr,
     )
-    scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
+    stats.count("reads", len(seqs))
+    with stats.timer("adapter_scan"):
+        scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
 
     preset = args.ranges
     if len(preset[0]) + len(preset[1]) == 0:
@@ -57,6 +66,7 @@ def run(args) -> None:
         args.num_bp_after,
     )
 
+    stats.count("valid", int(valid.sum()))
     outfile = open_out(args.outfile, force_gzip=True)
     print(f"Writng to {outfile}", file=sys.stderr)
     for i, (rname, seq) in enumerate(zip(rnames, seqs)):

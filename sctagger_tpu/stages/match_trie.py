@@ -21,9 +21,15 @@ import sys
 from ..core.packing import rev_compl
 from ..io.tsv import open_out, read_lr_segments_tsv, read_sr_barcodes_tsv
 from ..models.matcher import match_segments
+from ..observability import stage_scope
 
 
 def run(args) -> None:
+    with stage_scope("match_trie") as stats:
+        _run(args, stats)
+
+
+def _run(args, stats) -> None:
     barcodes = read_sr_barcodes_tsv(args.short_read_barcodes)
     print(f"There are {len(barcodes):,} SR barcodes", file=sys.stderr)
     barcode_lens = {len(b) for b in barcodes}
@@ -32,12 +38,16 @@ def run(args) -> None:
     names, _, _, segs = read_lr_segments_tsv(args.long_read_segments)
     print(f"There are {len(names):,} LRs", file=sys.stderr)
 
-    result = match_segments(
-        segments=segs,
-        barcodes=barcodes,
-        max_error=args.max_error,
-        progress=True,
-    )
+    stats.count("barcodes", len(barcodes))
+    stats.count("reads", len(names))
+    with stats.timer("match"):
+        result = match_segments(
+            segments=segs,
+            barcodes=barcodes,
+            max_error=args.max_error,
+            progress=True,
+        )
+    stats.count("matched", int(result.rids.size))
 
     outfile = open_out(args.outfile, force_gzip=False)
     for rid, e, ties in zip(result.rids, result.dists, result.ties):

@@ -1,0 +1,86 @@
+"""Pallas adapter-scan kernel (interpret mode) vs the jnp mask path."""
+
+import numpy as np
+
+from sctagger_tpu.core import STRICT_TABLE, encode_seqs, encode_str, rev_compl
+from sctagger_tpu.models.adapter import _hw_block
+from sctagger_tpu.ops.adapter_pallas import SLOTS_K, adapter_scan_tpu
+from sctagger_tpu.ops.myers import build_peq_multi
+
+import jax.numpy as jnp
+
+from oracle import mutate, random_dna
+
+ADAPTER = "CTACACGACGCTCTTCCGATCT"
+
+
+def _expected(texts):
+    m = len(ADAPTER)
+    a2 = rev_compl(ADAPTER)
+    peq2 = build_peq_multi(
+        np.stack([encode_str(ADAPTER), encode_str(a2)])
+    )
+    L = max(max((len(t) for t in texts), default=1), 1)
+    codes, lens = encode_seqs(texts, pad_to=L)
+    d, mask = _hw_block(
+        jnp.asarray(codes.astype(np.int32).T),
+        jnp.asarray(peq2),
+        jnp.asarray(lens.astype(np.int32)),
+        m,
+    )
+    return codes, lens, peq2, np.asarray(d), np.asarray(mask)
+
+
+def test_adapter_kernel_matches_jnp():
+    rng = np.random.default_rng(50)
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(30, 700))
+        t = random_dna(rng, n)
+        r = rng.random()
+        if r < 0.4:
+            pos = int(rng.integers(0, 25))
+            t = t[:pos] + mutate(rng, ADAPTER, int(rng.integers(0, 4))) + t[pos:]
+        elif r < 0.8:
+            pos = max(0, n - int(rng.integers(5, 30)))
+            t = t[:pos] + mutate(rng, rev_compl(ADAPTER), int(rng.integers(0, 4))) + t[pos:]
+        if i == 0:
+            t = "N" * 40  # degenerate all-N read
+        texts.append(t)
+    texts.append("")  # empty read
+
+    codes, lens, peq2, d_ref, mask_ref = _expected(texts)
+    fwd, rc = adapter_scan_tpu(codes, lens, peq2, len(ADAPTER), interpret=True)
+
+    for p, got in ((0, fwd), (1, rc)):
+        np.testing.assert_array_equal(got["d"], np.minimum(d_ref[:, p], 22))
+        for b in range(len(texts)):
+            ends = np.flatnonzero(mask_ref[:, b, p])
+            assert got["cnt"][b] == min(len(ends), got["cnt"][b]) or True
+            # count is exact (not clipped) in the kernel
+            assert got["cnt"][b] == len(ends), (b, p, ends, got["cnt"][b])
+            if len(ends):
+                assert got["max"][b] == ends[-1]
+                k = min(SLOTS_K, len(ends))
+                np.testing.assert_array_equal(got["slots"][b][:k], ends[:k])
+            else:
+                assert got["max"][b] == -1
+
+
+def test_adapter_kernel_multi_chunk_state():
+    """Reads long enough to span several 512-char grid chunks."""
+    rng = np.random.default_rng(51)
+    texts = []
+    for _ in range(8):
+        t = random_dna(rng, int(rng.integers(1200, 2000)))
+        pos = int(rng.integers(600, 1100))  # adapter in a middle chunk
+        t = t[:pos] + ADAPTER + t[pos:]
+        texts.append(t)
+    codes, lens, peq2, d_ref, mask_ref = _expected(texts)
+    fwd, rc = adapter_scan_tpu(codes, lens, peq2, len(ADAPTER), interpret=True)
+    np.testing.assert_array_equal(fwd["d"], d_ref[:, 0])
+    for b in range(len(texts)):
+        ends = np.flatnonzero(mask_ref[:, b, 0])
+        np.testing.assert_array_equal(
+            fwd["slots"][b][: min(SLOTS_K, len(ends))], ends[: SLOTS_K]
+        )

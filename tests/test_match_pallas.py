@@ -33,6 +33,7 @@ def _pallas_min_interp(seg_T, peq_pm, m, br, bp):
         ],
         out_specs=pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
         interpret=True,
     )(seg_T, peq_pm)
 
@@ -49,6 +50,7 @@ def _pallas_best_interp(seg_T, peq_pm, m, br, bp):
         ],
         out_specs=pl.BlockSpec((bp, br), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, r), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
         interpret=True,
     )(seg_T, peq_pm)
 
@@ -78,6 +80,49 @@ def test_pallas_min_matches_jnp(small_problem):
     got = np.asarray(_pallas_min_interp(seg_T, peq_pm, 16, br, bp))[0]
     ref = np.asarray(match_block_min(seg_T[:, : len(segs)], jnp.asarray(peq), 16))
     np.testing.assert_array_equal(got[: len(segs)], ref)
+
+
+def test_pallas_ties_kernel(small_problem):
+    from sctagger_tpu.ops.match_pallas import TIES_K, _match_ties_kernel
+    from sctagger_tpu.ops import match_block_min
+
+    segs, barcodes, seg_codes, peq = small_problem
+    br, bp = 128, 8
+    seg_T = prep_segs_T(seg_codes, ls=64, br=br)
+    peq_pm = prep_peq_cols(peq, bp=bp)
+    r = seg_T.shape[1]
+    p = peq_pm.shape[0]
+    mins = np.asarray(
+        match_block_min(seg_T[:, : len(segs)].astype(np.int32), jnp.asarray(peq), 16)
+    )
+    target = np.zeros(r, np.int32)
+    target[: len(segs)] = mins
+    out = pl.pallas_call(
+        functools.partial(_match_ties_kernel, m=16, ls=64),
+        grid=(r // br, p // bp),
+        in_specs=[
+            pl.BlockSpec((64, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIES_K + 1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((TIES_K + 1, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((64, br), jnp.int32)],
+        interpret=True,
+    )(jnp.asarray(seg_T), jnp.asarray(peq_pm), jnp.asarray(target.reshape(1, r)))
+    out = np.asarray(out)[:, : len(segs)]
+
+    # oracle: full best matrix via jnp
+    from sctagger_tpu.models.matcher import _best_matrix_jnp_t
+
+    best = np.asarray(_best_matrix_jnp_t(seg_codes, np.asarray(peq), 16))
+    for rr in range(len(segs)):
+        hits = np.flatnonzero(best[: len(barcodes), rr] == mins[rr])
+        assert out[0, rr] == len(hits), rr
+        k = min(TIES_K, len(hits))
+        np.testing.assert_array_equal(out[1 : 1 + k, rr], hits[:k])
 
 
 def test_pallas_best_matches_jnp(small_problem):

@@ -1,0 +1,55 @@
+"""scan_adapters with force_kernel (pallas-interpret) must equal the mask path,
+including overflow fallback for reads with >SLOTS_K optimal ends."""
+
+import numpy as np
+
+from sctagger_tpu.models.adapter import scan_adapters
+from sctagger_tpu.core import rev_compl
+
+from oracle import mutate, random_dna
+
+ADAPTER = "CTACACGACGCTCTTCCGATCT"
+
+
+def _flatten(res):
+    out = []
+    off = 0
+    for i in range(len(res.strands)):
+        c = int(res.loc_counts[i])
+        out.append(
+            (
+                int(res.strands[i]),
+                int(res.dists[i]),
+                tuple(res.flat_locs[off : off + c].tolist()),
+            )
+        )
+        off += c
+    return out
+
+
+def test_kernel_path_equals_mask_path():
+    rng = np.random.default_rng(60)
+    seqs = []
+    for i in range(50):
+        n = int(rng.integers(50, 400))
+        t = random_dna(rng, n)
+        r = rng.random()
+        if r < 0.35:
+            pos = int(rng.integers(0, 25))
+            t = t[:pos] + mutate(rng, ADAPTER, int(rng.integers(0, 3))) + t[pos:]
+        elif r < 0.7:
+            pos = max(0, n - int(rng.integers(5, 30)))
+            t = (
+                t[:pos]
+                + mutate(rng, rev_compl(ADAPTER), int(rng.integers(0, 3)))
+                + t[pos:]
+            )
+        seqs.append(t)
+    # a read with MANY adapter copies -> cnt > SLOTS_K (overflow fallback)
+    seqs.append("CC" + (ADAPTER + "TTT") * 8 + "GG")
+    # same for reverse strand
+    seqs.append("CC" + (rev_compl(ADAPTER) + "TTT") * 8 + "GG")
+
+    ref = scan_adapters(seqs, ADAPTER)
+    got = scan_adapters(seqs, ADAPTER, force_kernel=True)
+    assert _flatten(got) == _flatten(ref)
