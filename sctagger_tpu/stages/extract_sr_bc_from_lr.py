@@ -18,6 +18,7 @@ from ..core.cutoff import chunked_cutoff
 from ..core.packing import rev_compl
 from ..io.tsv import open_maybe_gz, open_out
 from ..ops.exact_lookup import build_key_table, host_dict_fallback, probe_segments
+from ..ops.topk_count import count_and_rank
 
 
 def run(args) -> None:
@@ -49,18 +50,15 @@ def run(args) -> None:
         )
 
     matched = counts_per_seg == 1
-    vals = np.abs(single_val[matched])
-    # counts with first-increment ordering (reference Counter semantics)
-    uniq_in_order, first_pos = np.unique(vals, return_index=True)
-    order_by_first = np.argsort(first_pos, kind="stable")
-    uniq_in_order = uniq_in_order[order_by_first]
-    cnt = np.bincount(vals, minlength=int(vals.max(initial=0)) + 1)
-    C = [(int(b), int(cnt[b])) for b in uniq_in_order]
-
-    print(f"\n=====\nFound {len(C):,} unique barcodes on long-reads")
-    # stable sort by count desc (Python sorted(reverse=True) keeps insertion
-    # order among equal counts — scTagger.py:828)
-    sorted_bc = sorted(C, key=lambda x: x[1], reverse=True)[: args.max_barcode_cnt]
+    vals = np.abs(single_val[matched]).astype(np.uint32)
+    # device count + rank by (count desc, first-increment asc) — identical to
+    # the reference's insertion-ordered Counter + stable reverse sort
+    # (scTagger.py:826-828)
+    keys_ranked, counts_ranked = count_and_rank(vals)
+    print(f"\n=====\nFound {len(keys_ranked):,} unique barcodes on long-reads")
+    sorted_bc = [
+        (int(k), int(c)) for k, c in zip(keys_ranked, counts_ranked)
+    ][: args.max_barcode_cnt]
     sorted_bc = chunked_cutoff(sorted_bc, args.step_size, args.thresh)
 
     print(f"\n=====\nWriting the top {len(sorted_bc)} barcodes")
