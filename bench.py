@@ -75,8 +75,9 @@ def main():
 
     segs, barcodes = make_inputs(n_segs)
 
-    # warmup on a slice (compiles all kernels)
-    match_segments(segs[:4096], barcodes, max_error=2)
+    # warmup with the full workload so every kernel shape (small + large
+    # chunks) is compiled before the timed region
+    match_segments(segs, barcodes, max_error=2)
 
     t0 = time.perf_counter()
     result = match_segments(segs, barcodes, max_error=2)

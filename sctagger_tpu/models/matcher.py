@@ -52,11 +52,25 @@ TOPK_INIT = 16
 
 @dataclasses.dataclass
 class MatchResult:
-    """Per-read match output for matched reads only (reference omits the rest)."""
+    """Per-read match output for matched reads only (reference omits the rest).
+
+    Tie sets are stored as fixed-width arrays (no per-read Python objects):
+    row i of ``tie_slots`` holds the first min(tie_counts[i], K) tie pattern
+    ids ascending; reads with more ties than K have their full sorted id list
+    in ``overflow`` keyed by rid. Pattern id p = 2*bid + (1 if forward).
+    """
 
     rids: np.ndarray  # (M,) int64 read ids, ascending
     dists: np.ndarray  # (M,) int32 min edit distance (<= max_error)
-    ties: list[np.ndarray]  # per matched read: sorted pattern ids p=2*bid+strand
+    tie_counts: np.ndarray  # (M,) int64
+    tie_slots: np.ndarray  # (M, K) int64
+    overflow: dict[int, np.ndarray]
+
+    def ties_of(self, i: int) -> np.ndarray:
+        c = int(self.tie_counts[i])
+        if c <= self.tie_slots.shape[1]:
+            return self.tie_slots[i, :c]
+        return self.overflow[int(self.rids[i])]
 
 
 def _use_tpu() -> bool:
@@ -137,17 +151,23 @@ def match_segments(
             )
             chunks.append((sub, seg_codes, ls))
 
-    # ---- pass 1: min distance (async dispatch, sync at the end) -----------
+    from ..ops.match_pallas import TIES_K, match_full_tpu
+
+    tie_by_chunk: list[np.ndarray | None] = [None] * len(chunks)
+
+    # ---- single device sweep: min dist + running-min tie collection -------
     if on_tpu:
         pending = []
         for sub, seg_codes, ls in chunks:
             r_pad = PASS1_SMALL if sub.size <= PASS1_SMALL else PASS1_CHUNK
             seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=r_pad)
             pending.append(
-                match_min_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
+                match_full_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
             )
-        for (sub, _codes, _ls), dev in zip(chunks, pending):
-            min_dist[sub] = np.asarray(dev)[0, : sub.size]
+        for ci, ((sub, _codes, _ls), dev) in enumerate(zip(chunks, pending)):
+            out = np.asarray(dev)[:, : sub.size]
+            min_dist[sub] = out[0]
+            tie_by_chunk[ci] = out[1:]
     else:
         for sub, seg_codes, ls in chunks:
             seg_T = seg_codes.astype(np.int32).T
@@ -156,42 +176,25 @@ def match_segments(
     matched = np.flatnonzero(min_dist <= max_error)
     matched_set_dists = min_dist[matched]
 
-    # ---- pass 2: tie sets for matched reads -------------------------------
-    ties: dict[int, np.ndarray] = {}
-    if on_tpu:
-        from ..ops.match_pallas import BIG, TIES_K, match_ties_tpu
+    # ---- tie sets for matched reads (fixed-width arrays) ------------------
+    M = matched.size
+    tie_counts = np.zeros(M, dtype=np.int64)
+    tie_slots = np.zeros((M, TIES_K), dtype=np.int64)
+    overflow: dict[int, np.ndarray] = {}
+    overflow_meta: list[tuple[int, np.ndarray, int]] = []
 
-        pending2 = []
-        metas = []
-        for sub, seg_codes, ls in chunks:
+    if on_tpu:
+        for ci, (sub, seg_codes, ls) in enumerate(chunks):
+            out = tie_by_chunk[ci]
             mrows = np.flatnonzero(min_dist[sub] <= max_error)
             if mrows.size == 0:
                 continue
             msub = sub[mrows]
-            mcodes = seg_codes[mrows]
-            r_pad = PASS1_SMALL if msub.size <= PASS1_SMALL else PASS1_CHUNK
-            seg_T = prep_segs_T(mcodes, ls=ls, br=DEF_BR, r_pad=r_pad)
-            tgt = np.zeros(r_pad, np.int32)
-            tgt[: msub.size] = min_dist[msub]
-            pending2.append(
-                match_ties_tpu(
-                    jnp.asarray(seg_T), jnp.asarray(peq_pm), jnp.asarray(tgt), bl
-                )
-            )
-            metas.append((msub, mcodes, ls))
-        overflow: list[tuple[int, np.ndarray, int]] = []
-        for (msub, mcodes, ls), dev in zip(metas, pending2):
-            out = np.asarray(dev)[:, : msub.size]
-            cnts = out[0]
-            slots = out[1:].T  # (Rc, TIES_K)
-            for r in range(msub.size):
-                c = int(cnts[r])
-                if c <= TIES_K:
-                    ties[int(msub[r])] = slots[r, :c].astype(np.int64)
-                else:
-                    overflow.append((int(msub[r]), mcodes[r], ls))
-        if overflow:
-            _escalate_ties(overflow, peq_pm, min_dist, bl, n_pat, ties)
+            rows = np.searchsorted(matched, msub)
+            tie_counts[rows] = out[0][mrows]
+            tie_slots[rows] = out[1:].T[mrows]
+            for r in np.flatnonzero(out[0][mrows] > TIES_K):
+                overflow_meta.append((int(msub[r]), seg_codes[mrows[r]], ls))
     else:
         for sub, seg_codes, ls in chunks:
             mrows = np.flatnonzero(min_dist[sub] <= max_error)
@@ -199,26 +202,50 @@ def match_segments(
                 rr = mrows[s:e]
                 msub = sub[rr]
                 best_t = _best_matrix_jnp_t(seg_codes[rr], peq, bl)
-                _collect_ties(best_t, min_dist[msub], msub, n_pat, ties)
+                rows = np.searchsorted(matched, msub)
+                cnt, idx = jax.tree.map(
+                    np.asarray,
+                    _topk_hits(
+                        jnp.asarray(best_t),
+                        jnp.asarray(min_dist[msub]),
+                        n_pat,
+                        TIES_K,
+                    ),
+                )
+                tie_counts[rows] = cnt
+                tie_slots[rows] = idx
+                for r in np.flatnonzero(cnt > TIES_K):
+                    overflow_meta.append((int(msub[r]), seg_codes[rr][r], ls))
+
+    if overflow_meta:
+        _escalate_ties(overflow_meta, peq_pm, peq, min_dist, bl, n_pat,
+                       on_tpu, overflow)
 
     return MatchResult(
         rids=matched.astype(np.int64),
         dists=matched_set_dists,
-        ties=[ties[int(r)] for r in matched],
+        tie_counts=tie_counts,
+        tie_slots=tie_slots,
+        overflow=overflow,
     )
 
 
-def _escalate_ties(overflow, peq_pm, min_dist, bl, n_pat, ties) -> None:
-    """Reads whose tie set exceeds TIES_K: full best-matrix + top_k."""
-    ls = max(o[2] for o in overflow)
-    codes = np.full((len(overflow), ls), CODE_PAD, dtype=np.uint8)
-    for i, (_rid, c, lsi) in enumerate(overflow):
+def _escalate_ties(
+    overflow_meta, peq_pm, peq, min_dist, bl, n_pat, on_tpu, overflow
+) -> None:
+    """Reads whose tie set exceeds TIES_K: full best-matrix + big top_k."""
+    ls = max(o[2] for o in overflow_meta)
+    codes = np.full((len(overflow_meta), ls), CODE_PAD, dtype=np.uint8)
+    for i, (_rid, c, _lsi) in enumerate(overflow_meta):
         codes[i, : c.shape[0]] = c
-    rids = np.array([o[0] for o in overflow], dtype=np.int64)
+    rids = np.array([o[0] for o in overflow_meta], dtype=np.int64)
     for s, e in batch_iter(rids.size, PASS2_CHUNK):
-        seg_T = prep_segs_T(codes[s:e], ls=ls, br=DEF_BR, r_pad=PASS2_CHUNK)
-        best_t = match_best_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
-        _collect_ties(best_t, min_dist[rids[s:e]], rids[s:e], n_pat, ties)
+        if on_tpu:
+            seg_T = prep_segs_T(codes[s:e], ls=ls, br=DEF_BR, r_pad=PASS2_CHUNK)
+            best_t = match_best_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
+        else:
+            best_t = _best_matrix_jnp_t(codes[s:e], peq, bl)
+        _collect_ties(best_t, min_dist[rids[s:e]], rids[s:e], n_pat, overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pat", "k"))

@@ -165,6 +165,93 @@ def _match_ties_kernel(seg_ref, peq_ref, tgt_ref, out_ref, seg32_ref, *, m: int,
         out_ref[t + 1 : t + 2, :] = slots[t]
 
 
+def _match_full_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int):
+    """Single-sweep matcher: min distance + tie count + first-TIES_K tie
+    pattern ids, all against the RUNNING min across pattern blocks
+    (reset-on-improve — no separate target pass needed).
+
+    out rows: [0] min distance, [1] tie count at that min,
+              [2..TIES_K+1] tie slot pattern ids (BIG = empty).
+    """
+    bp, br = peq_ref.shape[0], seg_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0:1, :] = jnp.full((1, br), m, jnp.int32)
+        out_ref[1:2, :] = jnp.zeros((1, br), jnp.int32)
+        for t in range(TIES_K):
+            out_ref[t + 2 : t + 3, :] = jnp.full((1, br), BIG, jnp.int32)
+
+    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]
+    seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
+    pv0 = jnp.full((bp, br), -1, jnp.int32)
+    mv0 = jnp.zeros((bp, br), jnp.int32)
+    s0 = jnp.full((bp, br), m, jnp.int32)
+
+    def body(jj, carry):
+        pv, mv, score, best = carry
+        c_row = seg32_ref[pl.ds(jj, 1), :]
+        eq = _eq_from_row(c_row, peq_cols, bp, br)
+        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
+        return pv, mv, score, jnp.minimum(best, score)
+
+    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+
+    d_old = out_ref[0:1, :]
+    block_min = jnp.min(best, axis=0, keepdims=True)
+    d_new = jnp.minimum(d_old, block_min)
+    improved = block_min < d_old
+
+    hits = best == d_new  # (BP, BR) vs broadcast row
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (bp, br), 0) + j * bp
+    local = jnp.where(hits, p_iota, BIG)
+
+    cnt = jnp.where(improved, 0, out_ref[1:2, :])
+    slots = [
+        jnp.where(improved, BIG, out_ref[t + 2 : t + 3, :])
+        for t in range(TIES_K)
+    ]
+    ff = jnp.minimum(cnt, TIES_K)
+    for _k in range(TIES_K):
+        idx_k = jnp.min(local, axis=0, keepdims=True)
+        can = (idx_k < BIG) & (ff < TIES_K)
+        for t in range(TIES_K):
+            slots[t] = jnp.where(can & (ff == t), idx_k, slots[t])
+        ff = ff + can.astype(jnp.int32)
+        local = jnp.where(local == idx_k, BIG, local)
+
+    out_ref[0:1, :] = d_new
+    out_ref[1:2, :] = cnt + jnp.sum(hits.astype(jnp.int32), axis=0, keepdims=True)
+    for t in range(TIES_K):
+        out_ref[t + 2 : t + 3, :] = slots[t]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "br", "bp"))
+def match_full_tpu(seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP):
+    """Single-sweep min + ties. seg_T: (Ls, R_pad) int8.
+
+    Returns (TIES_K+2, R_pad) int32: [0] min dist, [1] tie count,
+    [2..] tie slots.
+    """
+    ls, r = seg_T.shape
+    p = peq_pm.shape[0]
+    grid = (r // br, p // bp)
+    return pl.pallas_call(
+        functools.partial(_match_full_kernel, m=m, ls=ls),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIES_K + 2, br), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((TIES_K + 2, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
+    )(seg_T, peq_pm)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "br", "bp"))
 def match_ties_tpu(seg_T, peq_pm, target, m: int, br: int = DEF_BR,
                    bp: int = DEF_BP):

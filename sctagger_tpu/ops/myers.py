@@ -166,6 +166,114 @@ def match_block_min(seg_T: jnp.ndarray, peq: jnp.ndarray, m: int) -> jnp.ndarray
     return jnp.min(best, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Multi-word Myers (patterns longer than 32 bp; any m)
+# ---------------------------------------------------------------------------
+# Carry chain between 32-bit blocks follows edlib's calculateBlock: the
+# horizontal delta hIn in {-1,0,+1} enters the next word as the OR-ed bit of
+# Eq (for -1) and the shifted-in bits of Ph/Mh. The last-row score is read at
+# bit (m-1) % 32 of the top word BEFORE the shift, so no pattern padding
+# tricks are needed. Used by the jnp fallback paths; the Pallas kernels keep
+# the single-word fast path (every real chemistry fits 32 bp).
+
+
+def n_words(m: int) -> int:
+    return (m + 31) // 32
+
+
+def build_peq_single_mw(pattern_codes: np.ndarray) -> np.ndarray:
+    """(W, 5) int32 Peq for one pattern of any length."""
+    m = len(pattern_codes)
+    W = n_words(m)
+    peq = np.zeros((W, CODE_PAD + 1), dtype=np.int64)
+    for i, c in enumerate(pattern_codes):
+        if c < CODE_PAD:
+            peq[i // 32, int(c)] |= 1 << (i % 32)
+    return peq.astype(np.int32)
+
+
+def build_peq_multi_mw(pattern_codes: np.ndarray) -> np.ndarray:
+    """(W, 5, P) int32 Peq for P patterns of uniform length m."""
+    P, m = pattern_codes.shape
+    W = n_words(m)
+    peq = np.zeros((W, CODE_PAD + 1, P), dtype=np.int64)
+    for w in range(W):
+        bits = min(32, m - 32 * w)
+        weights = (1 << np.arange(bits, dtype=np.int64))[None, :]
+        chunk = pattern_codes[:, 32 * w : 32 * w + bits]
+        for c in range(CODE_PAD):
+            peq[w, c] = ((chunk == c) * weights).sum(axis=1)
+    return peq.astype(np.int32)
+
+
+def _step_mw(pvs, mvs, score, eqs, m: int, shw: bool):
+    """One multi-word column update. pvs/mvs/eqs: lists of W arrays."""
+    W = len(pvs)
+    r = (m - 1) % 32
+    one = jnp.int32(1)
+    zero = jnp.zeros_like(score)
+    hp = jnp.ones_like(score) if shw else zero  # carry in: D[0][j] delta
+    hm = zero
+    for w in range(W):
+        pv, mv, eq = pvs[w], mvs[w], eqs[w]
+        xv = eq | mv
+        eq2 = eq | hm
+        xh = (((eq2 & pv) + pv) ^ pv) | eq2
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        if w == W - 1:
+            score = score + ((ph >> r) & one) - ((mh >> r) & one)
+        hp_out = (ph >> 31) & one
+        hm_out = (mh >> 31) & one
+        ph = (ph << 1) | hp
+        mh = (mh << 1) | hm
+        pvs[w] = mh | ~(xv | ph)
+        mvs[w] = ph & xv
+        hp, hm = hp_out, hm_out
+    return pvs, mvs, score
+
+
+def _scores_scan_mw(text_T, peq_w, m: int, shw: bool):
+    """Multi-word variant of _scores_scan. peq_w: (W, 5) or (W, 5, P)."""
+    peq_w = jnp.asarray(peq_w)
+    W = peq_w.shape[0]
+    lane_shape = (
+        text_T.shape[1:] if peq_w.ndim == 2 else (*text_T.shape[1:], peq_w.shape[2])
+    )
+    pv0 = [jnp.full(lane_shape, -1, jnp.int32) for _ in range(W)]
+    mv0 = [jnp.zeros(lane_shape, jnp.int32) for _ in range(W)]
+    s0 = jnp.full(lane_shape, m, jnp.int32)
+
+    def step(carry, c):
+        pvs, mvs, score = carry
+        eqs = [_eq_lookup(peq_w[w], c) for w in range(W)]
+        pvs, mvs, score = _step_mw(list(pvs), list(mvs), score, eqs, m, shw)
+        return (tuple(pvs), tuple(mvs), score), score
+
+    _, scores = jax.lax.scan(step, (tuple(pv0), tuple(mv0), s0), text_T)
+    return scores
+
+
+def hw_scores_scan_mw(text_T, peq_w, m: int):
+    return _scores_scan_mw(text_T, peq_w, m, shw=False)
+
+
+def shw_scores_scan_mw(text_T, peq_w, m: int):
+    return _scores_scan_mw(text_T, peq_w, m, shw=True)
+
+
+def match_block_min_mw(seg_T, peq_w, m: int):
+    """Multi-word match pass 1: (R,) min over patterns and positions."""
+    scores = _scores_scan_mw(seg_T, peq_w, m, shw=False)  # (L, R, P)
+    return jnp.min(jnp.min(scores, axis=0), axis=-1)
+
+
+def match_best_mw_t(seg_T, peq_w, m: int):
+    """Multi-word best-distance matrix, transposed (P, R) int32."""
+    scores = _scores_scan_mw(seg_T, peq_w, m, shw=False)
+    return jnp.min(scores, axis=0).T
+
+
 def match_block_mask(
     seg_T: jnp.ndarray, peq: jnp.ndarray, m: int, target: jnp.ndarray
 ) -> jnp.ndarray:

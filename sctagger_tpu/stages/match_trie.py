@@ -50,13 +50,18 @@ def _run(args, stats) -> None:
     stats.count("matched", int(result.rids.size))
 
     outfile = open_out(args.outfile, force_gzip=False)
-    for rid, e, ties in zip(result.rids, result.dists, result.ties):
-        name = names[rid]
-        seg = segs[rid]
+    # pre-render both print forms of every barcode once
+    fwd_strs = list(barcodes)
+    rc_strs = [rev_compl(b) for b in barcodes]
+    for i in range(result.rids.size):
+        rid = result.rids[i]
+        ties = result.ties_of(i)
         matches = ",".join(
-            barcodes[p // 2] if p % 2 else rev_compl(barcodes[p // 2])
-            for p in ties
+            fwd_strs[p >> 1] if p & 1 else rc_strs[p >> 1] for p in ties
         )
-        outfile.write(f"{name}\t{e}\t{len(ties)}\t{seg}\t{matches}\n")
+        outfile.write(
+            f"{names[rid]}\t{result.dists[i]}\t{ties.size}\t{segs[rid]}\t"
+            f"{matches}\n"
+        )
     if outfile is not sys.stdout:
         outfile.close()

@@ -1,0 +1,108 @@
+"""Edge cases: custom adapters, gzipped flag, empty inputs, plots."""
+
+import gzip
+
+import numpy as np
+
+from sctagger_tpu.cli import main as cli_main
+
+from oracle import mutate, random_dna
+from refharness import run_reference
+
+
+def test_custom_short_adapter_golden(tmp_path):
+    """-sa with a non-default (10 bp) adapter, exercising m != 22 everywhere
+    (Peq width, SHW window 2m, histogram)."""
+    rng = np.random.default_rng(70)
+    adapter = "ACGTTGCAGT"
+    from sctagger_tpu.core import rev_compl
+
+    lines = []
+    for i in range(80):
+        n = int(rng.integers(60, 150))
+        t = random_dna(rng, n)
+        r = rng.random()
+        if r < 0.4:
+            pos = int(rng.integers(0, 15))
+            t = t[:pos] + mutate(rng, adapter, int(rng.integers(0, 2))) + t[pos:]
+        elif r < 0.8:
+            pos = max(0, n - int(rng.integers(3, 18)))
+            t = t[:pos] + mutate(rng, rev_compl(adapter), int(rng.integers(0, 2))) + t[pos:]
+        lines.append(f"@r{i}\n{t}\n+\n{'I' * len(t)}\n")
+    fq = tmp_path / "reads.fastq"
+    fq.write_text("".join(lines))
+
+    ref_out = tmp_path / "ref.tsv.gz"
+    run_reference(
+        ["extract_lr_bc", "-r", str(fq), "-sa", adapter, "-t", "1",
+         "-o", str(ref_out)],
+        tmp_path,
+        functional_edlib=True,
+    )
+    our_out = tmp_path / "ours.tsv.gz"
+    cli_main(
+        ["extract_lr_bc", "-r", str(fq), "-sa", adapter, "-t", "1",
+         "-o", str(our_out)]
+    )
+    assert gzip.decompress(our_out.read_bytes()) == gzip.decompress(
+        ref_out.read_bytes()
+    )
+
+
+def test_gzipped_flag_on_plain_extension(tmp_path):
+    """-z forces gzip reading even without a .gz extension."""
+    rng = np.random.default_rng(71)
+    lines = []
+    for i in range(10):
+        t = random_dna(rng, 80)
+        lines.append(f"@r{i}\n{t}\n+\n{'I' * len(t)}\n")
+    fq = tmp_path / "reads.fastq.data"
+    fq.write_bytes(gzip.compress("".join(lines).encode()))
+    out = tmp_path / "out.tsv.gz"
+    cli_main(["extract_lr_bc", "-r", str(fq), "-z", "-t", "1", "-o", str(out)])
+    rows = gzip.decompress(out.read_bytes()).decode().strip("\n").split("\n")
+    assert len(rows) == 10
+
+
+def test_match_trie_no_matches(tmp_path):
+    """Segments with nothing matchable -> empty output file, no crash."""
+    sr = tmp_path / "sr.tsv"
+    sr.write_text("ACGTACGTACGTACGA\t5\n")
+    lr = tmp_path / "lr.tsv"
+    lr.write_text("r0\t-1\tNA\t\nr1\t0\t3\tTTTT\n")
+    out = tmp_path / "out.tsv"
+    cli_main(["match_trie", "-lr", str(lr), "-sr", str(sr), "-o", str(out)])
+    assert out.read_text() == ""
+
+
+def test_plots_smoke(tmp_path):
+    from sctagger_tpu.plots import (
+        plot_extract_lr_bc,
+        plot_match_trie,
+        plot_sr_bc_coverage,
+    )
+
+    p1 = tmp_path / "a.png"
+    plot_extract_lr_bc(["r1", "r2", "r3"], np.array([0, -1, 2]), str(p1))
+    p2 = tmp_path / "b.png"
+    plot_sr_bc_coverage({10: 0.5, 20: 0.8, 30: 0.85}, 10, 20, str(p2))
+    p3 = tmp_path / "c.png"
+    plot_match_trie(np.array([0, 0, 1, 2]), str(p3))
+    assert p1.exists() and p2.exists() and p3.exists()
+
+
+def test_stage1_plotfile(tmp_path):
+    rng = np.random.default_rng(72)
+    lines = []
+    for i in range(12):
+        t = random_dna(rng, 100)
+        lines.append(f"@r{i}\n{t}\n+\n{'I' * len(t)}\n")
+    fq = tmp_path / "r.fastq"
+    fq.write_text("".join(lines))
+    out = tmp_path / "o.tsv.gz"
+    plot = tmp_path / "p.png"
+    cli_main(
+        ["extract_lr_bc", "-r", str(fq), "-t", "1", "-o", str(out),
+         "-p", str(plot)]
+    )
+    assert plot.exists()

@@ -125,6 +125,44 @@ def test_pallas_ties_kernel(small_problem):
         np.testing.assert_array_equal(out[1 : 1 + k, rr], hits[:k])
 
 
+def test_pallas_full_kernel(small_problem):
+    """Single-sweep kernel: min + running-min tie collection."""
+    from sctagger_tpu.ops.match_pallas import TIES_K, _match_full_kernel
+    from sctagger_tpu.models.matcher import _best_matrix_jnp_t
+
+    segs, barcodes, seg_codes, peq = small_problem
+    br, bp = 128, 8
+    seg_T = prep_segs_T(seg_codes, ls=64, br=br)
+    peq_pm = prep_peq_cols(peq, bp=bp)
+    r = seg_T.shape[1]
+    p = peq_pm.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_match_full_kernel, m=16, ls=64),
+        grid=(r // br, p // bp),
+        in_specs=[
+            pl.BlockSpec((64, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIES_K + 2, br), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((TIES_K + 2, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((64, br), jnp.int32)],
+        interpret=True,
+    )(jnp.asarray(seg_T), jnp.asarray(peq_pm))
+    out = np.asarray(out)[:, : len(segs)]
+
+    best = np.asarray(_best_matrix_jnp_t(seg_codes, np.asarray(peq), 16))
+    for rr in range(len(segs)):
+        col = best[: len(barcodes), rr]
+        d = col.min()
+        hits = np.flatnonzero(col == d)
+        assert out[0, rr] == d
+        assert out[1, rr] == len(hits), rr
+        k = min(TIES_K, len(hits))
+        np.testing.assert_array_equal(out[2 : 2 + k, rr], hits[:k])
+
+
 def test_pallas_best_matches_jnp(small_problem):
     segs, barcodes, seg_codes, peq = small_problem
     br, bp = 128, 8
