@@ -29,7 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.packing import STRICT_TABLE, encode_seqs, encode_str, rev_compl
-from ..ops.myers import build_peq_multi, build_peq_single, _scores_scan
+from ..ops.myers import (
+    MAX_PATTERN_LEN,
+    _scores_scan,
+    _scores_scan_mw,
+    build_peq_multi,
+    build_peq_multi_mw,
+    build_peq_single,
+    build_peq_single_mw,
+)
 from ..utils import batch_iter, round_up
 
 BUCKETS = [128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072]
@@ -54,7 +62,8 @@ class AdapterScanResult:
 def _hw_block(text_T, peq2, lengths, m: int):
     """(L, B) codes + (5, 2) Peq -> per-read dists (B, 2) and argmin masks
     (L, B, 2) over valid positions only."""
-    scores = _scores_scan(text_T, peq2, m, shw=False)  # (L, B, 2)
+    scan = _scores_scan if peq2.ndim == 2 else _scores_scan_mw
+    scores = scan(text_T, peq2, m, shw=False)  # (L, B, 2)
     L = text_T.shape[0]
     pos_valid = (
         jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) < lengths[None, :]
@@ -72,7 +81,8 @@ def _shw_last_block(win_T, peq_rev, wlens, targets, m: int):
 
     Returns k_last (T,): the furthest window position whose SHW score equals
     the task's target distance (edlib's positionsSHW[last])."""
-    scores = _scores_scan(win_T, peq_rev, m, shw=True)  # (W, T)
+    scan = _scores_scan if peq_rev.ndim == 1 else _scores_scan_mw
+    scores = scan(win_T, peq_rev, m, shw=True)  # (W, T)
     W = win_T.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
     hit = (scores == targets[None, :]) & (pos < wlens[None, :])
@@ -89,13 +99,13 @@ def scan_adapters(
     """Full stage-1 device scan over all reads."""
     m = len(adapter)
     a2 = rev_compl(adapter)
+    pat_stack = np.stack([
+        encode_str(adapter, STRICT_TABLE),
+        encode_str(a2, STRICT_TABLE),
+    ])
+    mw = m > MAX_PATTERN_LEN  # multi-word scans for long adapters
     peq2 = jnp.asarray(
-        build_peq_multi(
-            np.stack([
-                encode_str(adapter, STRICT_TABLE),
-                encode_str(a2, STRICT_TABLE),
-            ])
-        )
+        build_peq_multi_mw(pat_stack) if mw else build_peq_multi(pat_stack)
     )
     n = len(seqs)
     lengths = np.fromiter((len(s) for s in seqs), count=n, dtype=np.int32)
@@ -114,7 +124,7 @@ def scan_adapters(
     rev_tasks_end: list[np.ndarray] = []
 
     on_tpu = jax.default_backend() == "tpu"
-    use_kernel = on_tpu or force_kernel
+    use_kernel = (on_tpu or force_kernel) and not mw
     peq2_np = np.asarray(peq2)
     overflow_rids: list[int] = []  # cnt > SLOTS_K: need the full mask path
 
@@ -247,7 +257,12 @@ def _recover_rev_starts(
     rids = np.concatenate(rev_tasks_rid)
     ends = np.concatenate(rev_tasks_end)
     W = 2 * m
-    peq_rev = jnp.asarray(build_peq_single(encode_str(a2, STRICT_TABLE)[::-1]))
+    rev_codes = encode_str(a2, STRICT_TABLE)[::-1]
+    peq_rev = jnp.asarray(
+        build_peq_single_mw(rev_codes)
+        if m > MAX_PATTERN_LEN
+        else build_peq_single(rev_codes)
+    )
 
     starts = np.empty(rids.size, dtype=np.int64)
     for s, e in batch_iter(rids.size, 8192):

@@ -96,13 +96,25 @@ def _seg_buckets(lengths: np.ndarray) -> list[int]:
 
 
 def _min_dist_jnp_chunked(seg_T: np.ndarray, peq: np.ndarray, m: int) -> np.ndarray:
-    """jnp fallback of pass 1 with pattern-axis chunking (CPU testing path)."""
-    P = peq.shape[1]
+    """jnp fallback of pass 1 with pattern-axis chunking.
+
+    ``peq`` is (5, P) single-word or (W, 5, P) multi-word (m > 32)."""
+    from ..ops.myers import match_block_min_mw
+
+    mw = peq.ndim == 3
+    P = peq.shape[-1]
     out = np.full(seg_T.shape[1], m, dtype=np.int32)
     for s, e in batch_iter(P, 4096):
-        block = np.asarray(
-            match_block_min(jnp.asarray(seg_T), jnp.asarray(peq[:, s:e]), m)
-        )
+        if mw:
+            block = np.asarray(
+                match_block_min_mw(
+                    jnp.asarray(seg_T), jnp.asarray(peq[:, :, s:e]), m
+                )
+            )
+        else:
+            block = np.asarray(
+                match_block_min(jnp.asarray(seg_T), jnp.asarray(peq[:, s:e]), m)
+            )
         np.minimum(out, block, out=out)
     return out
 
@@ -115,13 +127,16 @@ def match_segments(
 ) -> MatchResult:
     """Match every segment against fwd+rc of every barcode within max_error."""
     bl = len(barcodes[0])
-    assert bl <= MAX_PATTERN_LEN, (
-        f"barcode length {bl} exceeds single-word Myers limit {MAX_PATTERN_LEN}"
-    )
     pat_codes = _build_patterns(barcodes, bl)
-    peq = build_peq_multi(pat_codes)  # (5, 2N)
+    mw = bl > MAX_PATTERN_LEN  # multi-word jnp path for long barcodes
+    if mw:
+        from ..ops.myers import build_peq_multi_mw
+
+        peq = build_peq_multi_mw(pat_codes)  # (W, 5, 2N)
+    else:
+        peq = build_peq_multi(pat_codes)  # (5, 2N)
     n_pat = pat_codes.shape[0]
-    on_tpu = _use_tpu()
+    on_tpu = _use_tpu() and not mw  # Pallas kernels are single-word
     peq_pm = prep_peq_cols(peq, bp=DEF_BP) if on_tpu else None
 
     n = len(segments)
@@ -287,13 +302,25 @@ def _collect_ties(best_t, target_np, sub, n_pat: int, ties: dict) -> None:
 
 
 def _best_matrix_jnp_t(seg_codes: np.ndarray, peq: np.ndarray, m: int):
-    """jnp fallback: (P, Rc) int8 best-distance matrix, pattern-chunked."""
+    """jnp fallback: (P, Rc) int8 best-distance matrix, pattern-chunked.
+
+    ``peq`` is (5, P) single-word or (W, 5, P) multi-word."""
+    from ..ops.myers import match_best_mw_t
+
     seg_T = jnp.asarray(seg_codes.astype(np.int32).T)
-    P = peq.shape[1]
+    mw = peq.ndim == 3
+    P = peq.shape[-1]
     cols = []
     for s, e in batch_iter(P, 4096):
-        cols.append(_best_block_jnp(seg_T, jnp.asarray(peq[:, s:e]), m))
-    return jnp.concatenate(cols, axis=1).astype(jnp.int8).T
+        if mw:
+            cols.append(
+                match_best_mw_t(seg_T, jnp.asarray(peq[:, :, s:e]), m).T
+            )
+        else:
+            cols.append(_best_block_jnp(seg_T, jnp.asarray(peq[:, s:e]), m))
+    # clamp before the int8 cast (distances can reach m; mr < 127 always in
+    # practice, so the clamp can't collide with a real target)
+    return jnp.minimum(jnp.concatenate(cols, axis=1), 127).astype(jnp.int8).T
 
 
 def _best_block_jnp(seg_T, peq, m: int):

@@ -16,9 +16,10 @@ mirroring how edlib computes start locations (reverse SHW pass).
 Character codes: 0..3 = A,C,G,T; 4 = "matches nothing" (strict-mode junk and
 batch padding). Peq tables always have a zero row for code 4.
 
-Pattern length m <= 32 (one int32 word). The SR adapter is 22 bp and barcodes
-are 16 bp, so a single word suffices; longer patterns would need multi-word
-Myers (not required for reference parity, enforced by assertion).
+Pattern length m <= 32 fits one int32 word (the SR adapter is 22 bp and
+barcodes 16 bp); longer patterns use the multi-word functions below
+(edlib-style carry chain between 32-bit blocks), which the models select
+automatically.
 """
 
 from __future__ import annotations
@@ -262,16 +263,34 @@ def shw_scores_scan_mw(text_T, peq_w, m: int):
     return _scores_scan_mw(text_T, peq_w, m, shw=True)
 
 
+def _match_best_mw(seg_T, peq_w, m: int):
+    """Multi-word (R, P) best-distance matrix with streaming min (no (L,R,P)
+    intermediate)."""
+    peq_w = jnp.asarray(peq_w)
+    W = peq_w.shape[0]
+    lane_shape = (seg_T.shape[1], peq_w.shape[2])
+    pv0 = tuple(jnp.full(lane_shape, -1, jnp.int32) for _ in range(W))
+    mv0 = tuple(jnp.zeros(lane_shape, jnp.int32) for _ in range(W))
+    s0 = jnp.full(lane_shape, m, jnp.int32)
+
+    def step(carry, c):
+        pvs, mvs, score, best = carry
+        eqs = [_eq_lookup(peq_w[w], c) for w in range(W)]
+        pvs, mvs, score = _step_mw(list(pvs), list(mvs), score, eqs, m, False)
+        return (tuple(pvs), tuple(mvs), score, jnp.minimum(best, score)), None
+
+    (_, _, _, best), _ = jax.lax.scan(step, (pv0, mv0, s0, s0), seg_T)
+    return best
+
+
 def match_block_min_mw(seg_T, peq_w, m: int):
     """Multi-word match pass 1: (R,) min over patterns and positions."""
-    scores = _scores_scan_mw(seg_T, peq_w, m, shw=False)  # (L, R, P)
-    return jnp.min(jnp.min(scores, axis=0), axis=-1)
+    return jnp.min(_match_best_mw(seg_T, peq_w, m), axis=1)
 
 
 def match_best_mw_t(seg_T, peq_w, m: int):
     """Multi-word best-distance matrix, transposed (P, R) int32."""
-    scores = _scores_scan_mw(seg_T, peq_w, m, shw=False)
-    return jnp.min(scores, axis=0).T
+    return _match_best_mw(seg_T, peq_w, m).T
 
 
 def match_block_mask(
