@@ -165,6 +165,9 @@ def parse_range_strings(range_strs):
 
 
 def main(argv=None):
+    from .runtime import configure_jax
+
+    configure_jax()  # persistent compilation cache (axon compiles are slow)
     args = parse_args(argv)
     print(args)
 

@@ -142,11 +142,13 @@ def scan_adapters(
             sub = idx[s:e]
             codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
             if use_kernel:
+                # two fixed batch shapes per bucket keep compiles bounded
+                b_pad = 8192 if sub.size <= 8192 else chunk
                 _kernel_chunk(
                     codes, lengths[sub], peq2_np, m, sub,
                     strands, dists, locs_per_read,
                     rev_tasks_rid, rev_tasks_end, overflow_rids,
-                    interpret=not on_tpu,
+                    interpret=not on_tpu, b_pad=b_pad,
                 )
             else:
                 _mask_chunk(
@@ -219,12 +221,14 @@ def _mask_chunk(
 def _kernel_chunk(
     codes, sub_lens, peq2_np, m, sub,
     strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, overflow_rids,
-    interpret: bool = False,
+    interpret: bool = False, b_pad: int | None = None,
 ):
     """Pallas path: first-K argmin ends per read; overflow falls back."""
     from ..ops.adapter_pallas import SLOTS_K, adapter_scan_tpu
 
-    fwd_o, rc_o = adapter_scan_tpu(codes, sub_lens, peq2_np, m, interpret=interpret)
+    fwd_o, rc_o = adapter_scan_tpu(
+        codes, sub_lens, peq2_np, m, interpret=interpret, b_pad=b_pad
+    )
     d1, d2 = fwd_o["d"], rc_o["d"]
     fwd = d1 < d2
     rev = d2 < d1

@@ -88,7 +88,10 @@ def _build_patterns(barcodes: Sequence[str], bl: int) -> np.ndarray:
 
 
 def _seg_buckets(lengths: np.ndarray) -> list[int]:
-    buckets = [32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+    # fine-grained near the typical ~24bp segment length (multiples of 8
+    # keep Mosaic sublane tiling happy), power-of-two beyond
+    buckets = [16, 24, 32, 40, 48, 64, 96, 128, 256, 512, 1024, 2048, 4096,
+               8192]
     mx = int(lengths.max(initial=0))
     if mx > buckets[-1]:
         buckets.append(round_up(mx, 128))

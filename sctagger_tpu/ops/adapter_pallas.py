@@ -184,16 +184,19 @@ def adapter_scan_tpu(
     peq2: np.ndarray,
     m: int,
     interpret: bool = False,
+    b_pad: int | None = None,
 ):
     """Host wrapper. codes: (B, L) uint8 strict codes; peq2: (5, 2) int32.
 
     Returns two dicts (fwd, rc), each with (B,) arrays d/cnt/max and
     (B, SLOTS_K) slots. When cnt > SLOTS_K the slots cover only the first
-    SLOTS_K optimal ends (caller falls back for those reads).
+    SLOTS_K optimal ends (caller falls back for those reads). ``b_pad`` fixes
+    the padded batch size so boundary chunks reuse compiled shapes.
     """
     B, L = codes.shape
     l_total = round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
-    Bp = round_up(max(B, 1), BLOCK_READS)
+    Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
+    assert Bp % BLOCK_READS == 0 and Bp >= B, (Bp, B)
     text = np.full((l_total, Bp), 4, dtype=np.int8)
     text[:L, :B] = codes.T.astype(np.int8)
     text = text.reshape(l_total, Bp // 128, 128)

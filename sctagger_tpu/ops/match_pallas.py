@@ -35,7 +35,7 @@ import numpy as np
 
 from ..utils import cdiv, round_up
 
-DEF_BR = 512  # reads per block (lanes)
+DEF_BR = 1024  # reads per block (lanes); best of tools/sweep_blocks.py
 DEF_BP = 256  # patterns per block (sublanes)
 
 
