@@ -10,7 +10,6 @@ kernels ignore it (parallelism comes from the TPU), host-side I/O may use it.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -38,11 +38,10 @@ from ..ops.match_pallas import (
     DEF_BP,
     DEF_BR,
     match_best_tpu,
-    match_min_tpu,
     prep_peq_cols,
     prep_segs_T,
 )
-from ..utils import batch_iter, cdiv, round_up
+from ..utils import batch_iter, round_up
 
 PASS1_CHUNK = 131072  # segments per device call (large shape)
 PASS1_SMALL = 4096  # small fixed shape for tiny inputs / final slivers

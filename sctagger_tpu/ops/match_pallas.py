@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 import numpy as np
 
-from ..utils import cdiv, round_up
+from ..utils import round_up
 
 DEF_BR = 1024  # reads per block (lanes); best of tools/sweep_blocks.py
 DEF_BP = 256  # patterns per block (sublanes)
