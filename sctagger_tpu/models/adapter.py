@@ -40,12 +40,36 @@ from ..ops.myers import (
 )
 from ..utils import batch_iter, round_up
 
-BUCKETS = [128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072]
-# (bucket length, reads per device call) — bounds scores memory ~ L*B*2*4B
-_CHUNK_FOR = {
-    128: 16384, 256: 8192, 512: 4096, 1024: 2048, 2048: 1024,
-    4096: 512, 8192: 256, 16384: 128, 32768: 64, 65536: 32, 131072: 16,
-}
+# Quantile-based read-length buckets: each distinct kernel shape costs a
+# full remote compile per process on the axon backend (~3.5 min, not
+# persisted), so we pick at most three data-fitted buckets instead of a
+# fixed ladder. Chunk sizes follow a fixed character budget per device call.
+_CHARS_BUDGET = 16 * 1024 * 1024  # int8 text bytes per chunk
+
+
+def _read_buckets(lengths: np.ndarray) -> list[int]:
+    nz = lengths[lengths > 0]
+    if nz.size == 0:
+        return [64]
+    qs = np.quantile(nz, [0.9, 1.0])
+    out = sorted({max(64, int(round_up(int(q), 64))) for q in qs})
+    return out
+
+
+def _chunk_for(L: int) -> int:
+    from ..ops.adapter_pallas import BLOCK_READS
+
+    return max(BLOCK_READS, (_CHARS_BUDGET // max(L, 1)) // BLOCK_READS * BLOCK_READS)
+
+
+def _cpu_device():
+    """Small/rare computations run on the host CPU backend: their shapes are
+    data-dependent and tiny, so paying the (minutes-long) remote-TPU compile
+    for each would dominate wall time (axon remote compile)."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
 
 
 @dataclasses.dataclass
@@ -109,11 +133,7 @@ def scan_adapters(
     )
     n = len(seqs)
     lengths = np.fromiter((len(s) for s in seqs), count=n, dtype=np.int32)
-    buckets = list(BUCKETS)
-    mx = int(lengths.max(initial=0))
-    if mx > buckets[-1]:
-        buckets.append(round_up(mx, 1024))
-        _CHUNK_FOR[buckets[-1]] = 8
+    buckets = _read_buckets(lengths)
 
     strands = np.full(n, -1, dtype=np.int8)
     dists = np.full(n, -1, dtype=np.int32)
@@ -135,15 +155,16 @@ def scan_adapters(
         lo = hi
         if idx.size == 0:
             continue
-        chunk = _CHUNK_FOR.get(L, 16) * (8 if use_kernel else 1)
+        chunk = _chunk_for(L) if use_kernel else max(256, _chunk_for(L) // 8)
         if progress:
             print(f"[scan] bucket<= {L}: {idx.size} reads", file=sys.stderr)
         for s, e in batch_iter(idx.size, chunk):
             sub = idx[s:e]
             codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
             if use_kernel:
-                # two fixed batch shapes per bucket keep compiles bounded
-                b_pad = 8192 if sub.size <= 8192 else chunk
+                # ONE batch shape per bucket: sliver chunks pad to the full
+                # chunk size (wasted kernel-ms beat minutes-long compiles)
+                b_pad = chunk
                 _kernel_chunk(
                     codes, lengths[sub], peq2_np, m, sub,
                     strands, dists, locs_per_read,
@@ -194,13 +215,21 @@ def _mask_chunk(
     codes, sub_lens, peq2, m, sub,
     strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end,
 ):
-    """jnp mask path: exact full argmin-end sets via (L, B) masks."""
-    d, mask = _hw_block(
-        jnp.asarray(codes.astype(np.int32).T),
-        peq2 if not isinstance(peq2, np.ndarray) else jnp.asarray(peq2),
-        jnp.asarray(sub_lens.astype(np.int32)),
-        m,
-    )
+    """jnp mask path: exact full argmin-end sets via (L, B) masks.
+
+    Runs on the host CPU backend (see _cpu_device) — it only handles small
+    fallback batches and CPU-backend test runs."""
+    cpu = _cpu_device()
+    import contextlib
+
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        d, mask = _hw_block(
+            jnp.asarray(codes.astype(np.int32).T),
+            jnp.asarray(np.asarray(peq2)),
+            jnp.asarray(sub_lens.astype(np.int32)),
+            m,
+        )
     d = np.asarray(d)
     mask = np.asarray(mask)
     d1, d2 = d[:, 0], d[:, 1]
@@ -262,13 +291,17 @@ def _recover_rev_starts(
     ends = np.concatenate(rev_tasks_end)
     W = 2 * m
     rev_codes = encode_str(a2, STRICT_TABLE)[::-1]
-    peq_rev = jnp.asarray(
+    peq_rev_np = (
         build_peq_single_mw(rev_codes)
         if m > MAX_PATTERN_LEN
         else build_peq_single(rev_codes)
     )
 
     starts = np.empty(rids.size, dtype=np.int64)
+    cpu = _cpu_device()
+    import contextlib
+
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     for s, e in batch_iter(rids.size, 8192):
         rr, ee = rids[s:e], ends[s:e]
         wins = []
@@ -276,15 +309,16 @@ def _recover_rev_starts(
             w0 = max(0, int(en) - W + 1)
             wins.append(seqs[r][w0 : int(en) + 1][::-1])
         codes, wl = encode_seqs(wins, pad_to=W)
-        k_last = np.asarray(
-            _shw_last_block(
-                jnp.asarray(codes.astype(np.int32).T),
-                peq_rev,
-                jnp.asarray(wl.astype(np.int32)),
-                jnp.asarray(dists[rr]),
-                m,
+        with ctx:
+            k_last = np.asarray(
+                _shw_last_block(
+                    jnp.asarray(codes.astype(np.int32).T),
+                    jnp.asarray(peq_rev_np),
+                    jnp.asarray(wl.astype(np.int32)),
+                    jnp.asarray(dists[rr]),
+                    m,
+                )
             )
-        )
         starts[s:e] = ee - k_last
     # group back per read (tasks were appended read-major)
     locs = starts - lengths[rids].astype(np.int64) - 1

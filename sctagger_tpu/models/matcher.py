@@ -44,7 +44,7 @@ from ..ops.match_pallas import (
 from ..utils import batch_iter, round_up
 
 PASS1_CHUNK = 131072  # segments per device call (large shape)
-PASS1_SMALL = 4096  # small fixed shape for tiny inputs / final slivers
+
 PASS2_CHUNK = 2048
 TOPK_INIT = 16
 
@@ -87,14 +87,20 @@ def _build_patterns(barcodes: Sequence[str], bl: int) -> np.ndarray:
 
 
 def _seg_buckets(lengths: np.ndarray) -> list[int]:
-    # fine-grained near the typical ~24bp segment length (multiples of 8
-    # keep Mosaic sublane tiling happy), power-of-two beyond
-    buckets = [16, 24, 32, 40, 48, 64, 96, 128, 256, 512, 1024, 2048, 4096,
-               8192]
-    mx = int(lengths.max(initial=0))
-    if mx > buckets[-1]:
-        buckets.append(round_up(mx, 128))
-    return buckets
+    """Quantile-based buckets: AT MOST two compiled kernel shapes.
+
+    Every distinct (Ls, R) shape costs a full remote compile per process on
+    the axon backend (~3.5 min, not persisted across processes), so fewer,
+    data-fitted buckets beat a fixed fine ladder: one bucket at the 90th
+    length percentile (tight padding for the bulk) and one at the max.
+    Multiples of 8 keep Mosaic sublane tiling natural."""
+    if lengths.size == 0:
+        return [32]
+    q90 = int(np.quantile(lengths, 0.90))
+    mx = int(lengths.max())
+    b1 = max(16, round_up(q90, 8))
+    b2 = max(b1, round_up(mx, 8))
+    return [b1] if b2 == b1 else [b1, b2]
 
 
 def _min_dist_jnp_chunked(seg_T: np.ndarray, peq: np.ndarray, m: int) -> np.ndarray:
@@ -176,8 +182,8 @@ def match_segments(
     if on_tpu:
         pending = []
         for sub, seg_codes, ls in chunks:
-            r_pad = PASS1_SMALL if sub.size <= PASS1_SMALL else PASS1_CHUNK
-            seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=r_pad)
+            # one compiled shape per bucket: always pad to the full chunk
+            seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=PASS1_CHUNK)
             pending.append(
                 match_full_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
             )
@@ -250,19 +256,28 @@ def match_segments(
 def _escalate_ties(
     overflow_meta, peq_pm, peq, min_dist, bl, n_pat, on_tpu, overflow
 ) -> None:
-    """Reads whose tie set exceeds TIES_K: full best-matrix + big top_k."""
+    """Reads whose tie set exceeds TIES_K: full best-matrix + big top_k.
+
+    Always runs on the host CPU backend: overflow reads are rare and their
+    shapes data-dependent, so a remote-TPU compile per shape would dominate
+    (axon compiles take minutes)."""
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
     ls = max(o[2] for o in overflow_meta)
     codes = np.full((len(overflow_meta), ls), CODE_PAD, dtype=np.uint8)
     for i, (_rid, c, _lsi) in enumerate(overflow_meta):
         codes[i, : c.shape[0]] = c
     rids = np.array([o[0] for o in overflow_meta], dtype=np.int64)
-    for s, e in batch_iter(rids.size, PASS2_CHUNK):
-        if on_tpu:
-            seg_T = prep_segs_T(codes[s:e], ls=ls, br=DEF_BR, r_pad=PASS2_CHUNK)
-            best_t = match_best_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
-        else:
-            best_t = _best_matrix_jnp_t(codes[s:e], peq, bl)
-        _collect_ties(best_t, min_dist[rids[s:e]], rids[s:e], n_pat, overflow)
+    peq_np = np.asarray(peq)
+    with ctx:
+        for s, e in batch_iter(rids.size, PASS2_CHUNK):
+            best_t = _best_matrix_jnp_t(codes[s:e], peq_np, bl)
+            _collect_ties(best_t, min_dist[rids[s:e]], rids[s:e], n_pat, overflow)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pat", "k"))
