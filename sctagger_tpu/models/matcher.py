@@ -1,12 +1,11 @@
 """Stage-3 matcher model: dense LR-segment x whitelist infix matching.
 
 Replaces the reference's per-worker trie build + error-tolerant DFS + shard
-merge (scTagger.py:643-716) with a dense two-pass device computation:
-
-  pass 1: min infix edit distance per segment over all 2xN patterns
-          (fwd + revcomp barcodes) — the throughput-critical kernel.
-  pass 2: for matched segments (min <= max_error), recompute per-pattern
-          best distances and extract the argmin tie set via top_k.
+merge (scTagger.py:643-716) with ONE dense device sweep per chunk: the fused
+kernel (ops/match_pallas._match_full_kernel) returns, per segment, the min
+infix edit distance over all 2xN patterns (fwd + revcomp barcodes) plus the
+first-K argmin tie pattern ids collected against the running min. Reads
+whose tie set exceeds K escalate to a CPU-side best-matrix + top_k pass.
 
 Semantic equivalence to the trie (SURVEY.md §3.4): the trie records read ids
 at every window-path depth in [bl-mr, bl+mr] over windows starting at every
