@@ -75,6 +75,16 @@ def _use_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _cpu_ctx():
+    """Context pinning jnp work to the host CPU device (no-op if absent)."""
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 def _build_patterns(barcodes: Sequence[str], bl: int) -> np.ndarray:
     """Interleaved (2N, bl) lenient code array: p=2*bid rc, p=2*bid+1 fwd."""
     pats: list[str] = []
@@ -191,9 +201,13 @@ def match_segments(
             min_dist[sub] = out[0]
             tie_by_chunk[ci] = out[1:]
     else:
-        for sub, seg_codes, ls in chunks:
-            seg_T = seg_codes.astype(np.int32).T
-            min_dist[sub] = _min_dist_jnp_chunked(seg_T, peq, bl)[: sub.size]
+        # jnp fallback (CPU backends, or multi-word barcodes): pin to the
+        # host CPU device so a TPU machine never pays per-shape remote
+        # compiles for this path (see CLAUDE.md compile-cost notes)
+        with _cpu_ctx():
+            for sub, seg_codes, ls in chunks:
+                seg_T = seg_codes.astype(np.int32).T
+                min_dist[sub] = _min_dist_jnp_chunked(seg_T, peq, bl)[: sub.size]
 
     matched = np.flatnonzero(min_dist <= max_error)
     matched_set_dists = min_dist[matched]
@@ -218,26 +232,30 @@ def match_segments(
             for r in np.flatnonzero(out[0][mrows] > TIES_K):
                 overflow_meta.append((int(msub[r]), seg_codes[mrows[r]], ls))
     else:
-        for sub, seg_codes, ls in chunks:
-            mrows = np.flatnonzero(min_dist[sub] <= max_error)
-            for s, e in batch_iter(mrows.size, PASS2_CHUNK):
-                rr = mrows[s:e]
-                msub = sub[rr]
-                best_t = _best_matrix_jnp_t(seg_codes[rr], peq, bl)
-                rows = np.searchsorted(matched, msub)
-                cnt, idx = jax.tree.map(
-                    np.asarray,
-                    _topk_hits(
-                        jnp.asarray(best_t),
-                        jnp.asarray(min_dist[msub]),
-                        n_pat,
-                        TIES_K,
-                    ),
-                )
-                tie_counts[rows] = cnt
-                tie_slots[rows] = idx
-                for r in np.flatnonzero(cnt > TIES_K):
-                    overflow_meta.append((int(msub[r]), seg_codes[rr][r], ls))
+        with _cpu_ctx():
+            for sub, seg_codes, ls in chunks:
+                mrows = np.flatnonzero(min_dist[sub] <= max_error)
+                for s, e in batch_iter(mrows.size, PASS2_CHUNK):
+                    rr = mrows[s:e]
+                    msub = sub[rr]
+                    best_t = _best_matrix_jnp_t(seg_codes[rr], peq, bl)
+                    rows = np.searchsorted(matched, msub)
+                    kk = min(TIES_K, n_pat)  # top_k k can't exceed n_pat
+                    cnt, idx = jax.tree.map(
+                        np.asarray,
+                        _topk_hits(
+                            jnp.asarray(best_t),
+                            jnp.asarray(min_dist[msub]),
+                            n_pat,
+                            kk,
+                        ),
+                    )
+                    tie_counts[rows] = cnt
+                    tie_slots[rows, :kk] = idx
+                    for r in np.flatnonzero(cnt > TIES_K):
+                        overflow_meta.append(
+                            (int(msub[r]), seg_codes[rr][r], ls)
+                        )
 
     if overflow_meta:
         _escalate_ties(overflow_meta, peq_pm, peq, min_dist, bl, n_pat,

@@ -76,10 +76,13 @@ def probe_segments(
     single_val = np.zeros(n, dtype=np.int64)
     sk = jnp.asarray(sorted_keys.view(np.uint32))
     vv = jnp.asarray(values.astype(np.int32))
+    # one padded length for every chunk: a single compiled probe shape
+    # (each distinct shape costs a full remote compile on the axon backend)
+    L = max(max((len(x) for x in segments), default=k), k)
     for s in range(0, n, chunk):
         subs = segments[s : s + chunk]
-        L = max((len(x) for x in subs), default=k)
-        L = max(L, k)
+        if len(subs) < chunk and s > 0:
+            subs = subs + [""] * (chunk - len(subs))  # pad final chunk
         codes, lens = encode_seqs(subs, pad_to=L, table=STRICT_TABLE)
         qkeys, qvalid = pack_kmers_from_codes(codes, lens, k)
         if qkeys.size == 0:
@@ -89,11 +92,12 @@ def probe_segments(
         )
         hit = np.asarray(hit)
         val = np.asarray(val, dtype=np.int64)
-        c = hit.sum(axis=1)
-        counts[s : s + len(subs)] = c
+        real = min(chunk, n - s)
+        c = hit.sum(axis=1)[:real]
+        counts[s : s + real] = c
         # value of the single hit: sum over the row works when exactly 1 hit
-        single_val[s : s + len(subs)] = np.where(
-            c == 1, (val * hit).sum(axis=1), 0
+        single_val[s : s + real] = np.where(
+            c == 1, (val * hit).sum(axis=1)[:real], 0
         )
     return counts, single_val
 

@@ -106,3 +106,19 @@ def test_stage1_plotfile(tmp_path):
          "-p", str(plot)]
     )
     assert plot.exists()
+
+
+def test_match_trie_tiny_whitelist(tmp_path):
+    """Whitelists smaller than the tie-slot width (regression: top_k k>n)."""
+    sr = tmp_path / "sr.tsv"
+    sr.write_text("AAAAAACCGGTTACGT\t5\nTTGGCCAATTGGAAAA\t3\n")
+    lr = tmp_path / "lr.tsv"
+    lr.write_text(
+        "r0\t0\t3\tGGAAAAAACCGGTTACGTTT\n"
+        "r1\t0\t3\tCCTTGGCCAATTGGAAAATT\n"
+    )
+    out = tmp_path / "out.tsv"
+    cli_main(["match_trie", "-lr", str(lr), "-sr", str(sr), "-o", str(out)])
+    rows = out.read_text().strip().split("\n")
+    assert len(rows) == 2
+    assert rows[0].split("\t")[4] == "AAAAAACCGGTTACGT"

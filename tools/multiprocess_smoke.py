@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Two-process jax.distributed smoke test (CPU backend, localhost).
+
+Validates the multi-host plumbing end to end without TPU pods: each process
+contributes a shard of reads, runs the sharded match step over the GLOBAL
+mesh, and checks the psum count merge. Run:
+
+    python tools/multiprocess_smoke.py            # spawns both processes
+    python tools/multiprocess_smoke.py --worker I # internal
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+PORT = 9733
+
+
+def worker(pid: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{PORT}", num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    from sctagger_tpu.parallel import dist_count_merge, make_mesh
+
+    mesh = make_mesh(8, model_parallel=1)
+    # each process owns 4 of the 8 data shards; build the global array from
+    # per-process shards
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data", None))
+    local = np.full((4, 16), pid + 1, dtype=np.int32)
+    garr = jax.make_array_from_process_local_data(sharding, local, (8, 16))
+    merged = dist_count_merge(mesh, garr)
+    got = np.asarray(jax.device_get(merged))
+    # 4 shards of 1s + 4 shards of 2s -> column sums 12
+    assert (got == 12).all(), got
+    print(f"[proc {pid}] multiprocess psum OK: {got[0]}", flush=True)
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        return
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # drop the axon sitecustomize
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
+            env=env,
+        )
+        for i in range(2)
+    ]
+    codes = [p.wait(timeout=300) for p in procs]
+    assert codes == [0, 0], codes
+    print("multiprocess smoke: OK")
+
+
+if __name__ == "__main__":
+    main()
