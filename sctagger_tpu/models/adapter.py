@@ -148,6 +148,18 @@ def scan_adapters(
     peq2_np = np.asarray(peq2)
     overflow_rids: list[int] = []  # cnt > SLOTS_K: need the full mask path
 
+    MAX_INFLIGHT = 64  # bound HBM held by queued chunks
+    pending: list[tuple] = []  # (dev_out, sub, B)
+
+    def _drain(limit: int) -> None:
+        while len(pending) > limit:
+            dev, psub, B = pending.pop(0)
+            _kernel_collect(
+                np.asarray(dev), B, psub,
+                strands, dists, locs_per_read,
+                rev_tasks_rid, rev_tasks_end, overflow_rids,
+            )
+
     lo = 0
     for L in buckets:
         hi = int(np.searchsorted(lengths[order], L, side="right"))
@@ -162,21 +174,22 @@ def scan_adapters(
             sub = idx[s:e]
             codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
             if use_kernel:
-                # ONE batch shape per bucket: sliver chunks pad to the full
-                # chunk size (wasted kernel-ms beat minutes-long compiles)
-                b_pad = chunk
-                _kernel_chunk(
-                    codes, lengths[sub], peq2_np, m, sub,
-                    strands, dists, locs_per_read,
-                    rev_tasks_rid, rev_tasks_end, overflow_rids,
-                    interpret=not on_tpu, b_pad=b_pad,
+                # async dispatch: device crunches while the host encodes the
+                # next chunk. ONE batch shape per bucket (sliver chunks pad
+                # to the full chunk: wasted kernel-ms beat 3.5-min compiles).
+                dev = _kernel_dispatch(
+                    codes, lengths[sub], peq2_np, m,
+                    b_pad=chunk, interpret=not on_tpu,
                 )
+                pending.append((dev, sub, sub.size))
+                _drain(MAX_INFLIGHT)
             else:
                 _mask_chunk(
                     codes, lengths[sub], peq2, m, sub,
                     strands, dists, locs_per_read,
                     rev_tasks_rid, rev_tasks_end,
                 )
+    _drain(0)
 
     if overflow_rids:
         # rare multi-site reads: recompute with full masks (jnp path)
@@ -247,17 +260,24 @@ def _mask_chunk(
         rev_tasks_end.append(ends)
 
 
-def _kernel_chunk(
-    codes, sub_lens, peq2_np, m, sub,
-    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, overflow_rids,
-    interpret: bool = False, b_pad: int | None = None,
-):
-    """Pallas path: first-K argmin ends per read; overflow falls back."""
-    from ..ops.adapter_pallas import SLOTS_K, adapter_scan_tpu
+def _kernel_dispatch(codes, sub_lens, peq2_np, m, b_pad, interpret=False):
+    """Issue one pallas adapter-scan chunk; returns the un-synced device
+    output (sync happens in _kernel_collect)."""
+    from ..ops.adapter_pallas import adapter_scan_dispatch
 
-    fwd_o, rc_o = adapter_scan_tpu(
+    return adapter_scan_dispatch(
         codes, sub_lens, peq2_np, m, interpret=interpret, b_pad=b_pad
     )
+
+
+def _kernel_collect(
+    out_np, B, sub,
+    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, overflow_rids,
+):
+    """Vectorized unpack of one chunk's (N_OUT, Bp) kernel output."""
+    from ..ops.adapter_pallas import SLOTS_K, unpack_scan_out
+
+    fwd_o, rc_o = unpack_scan_out(out_np, B)
     d1, d2 = fwd_o["d"], rc_o["d"]
     fwd = d1 < d2
     rev = d2 < d1
@@ -265,20 +285,28 @@ def _kernel_chunk(
     strands[sub[rev]] = 1
     dists[sub[fwd]] = d1[fwd]
     dists[sub[rev]] = d2[rev]
-    for bi in np.flatnonzero(fwd):
-        c = int(fwd_o["cnt"][bi])
-        if c > SLOTS_K:
-            overflow_rids.append(int(sub[bi]))
-        else:
-            locs_per_read[sub[bi]] = fwd_o["slots"][bi][:c].astype(np.int64)
-    for bi in np.flatnonzero(rev):
-        c = int(rc_o["cnt"][bi])
-        if c > SLOTS_K:
-            overflow_rids.append(int(sub[bi]))
-        else:
-            ends = rc_o["slots"][bi][:c].astype(np.int64)
-            rev_tasks_rid.append(np.full(ends.size, sub[bi], dtype=np.int64))
-            rev_tasks_end.append(ends)
+
+    karange = np.arange(SLOTS_K)[None, :]
+    # forward: per-read loc arrays (views into one flat array)
+    ok = fwd & (fwd_o["cnt"] <= SLOTS_K)
+    fi = np.flatnonzero(ok)
+    if fi.size:
+        cnts = fwd_o["cnt"][fi]
+        flat = fwd_o["slots"][fi][karange < cnts[:, None]].astype(np.int64)
+        parts = np.split(flat, np.cumsum(cnts)[:-1])
+        for i, bi in enumerate(fi):
+            locs_per_read[sub[bi]] = parts[i]
+    overflow_rids.extend(sub[fwd & (fwd_o["cnt"] > SLOTS_K)].tolist())
+
+    # reverse: flat (rid, end) task arrays, read-major
+    ok = rev & (rc_o["cnt"] <= SLOTS_K)
+    ri = np.flatnonzero(ok)
+    if ri.size:
+        cnts = rc_o["cnt"][ri]
+        flat = rc_o["slots"][ri][karange < cnts[:, None]].astype(np.int64)
+        rev_tasks_rid.append(np.repeat(sub[ri], cnts))
+        rev_tasks_end.append(flat)
+    overflow_rids.extend(sub[rev & (rc_o["cnt"] > SLOTS_K)].tolist())
 
 
 def _recover_rev_starts(

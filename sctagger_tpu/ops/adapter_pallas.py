@@ -193,6 +193,25 @@ def adapter_scan_tpu(
     SLOTS_K optimal ends (caller falls back for those reads). ``b_pad`` fixes
     the padded batch size so boundary chunks reuse compiled shapes.
     """
+    out = np.asarray(
+        adapter_scan_dispatch(
+            codes, lengths, peq2, m, interpret=interpret, b_pad=b_pad
+        )
+    )
+    return unpack_scan_out(out, codes.shape[0])
+
+
+def adapter_scan_dispatch(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    peq2: np.ndarray,
+    m: int,
+    interpret: bool = False,
+    b_pad: int | None = None,
+):
+    """Async variant: returns the device output WITHOUT syncing, so callers
+    can overlap host encoding with device compute. Convert with np.asarray
+    and feed unpack_scan_out(out, B)."""
     B, L = codes.shape
     l_total = round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
     Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
@@ -203,17 +222,19 @@ def adapter_scan_tpu(
     lens = np.zeros((Bp,), np.int32)
     lens[:B] = lengths
     lens = lens.reshape(Bp // 128, 128)
+    return _adapter_scan_call(
+        jnp.asarray(text),
+        jnp.asarray(lens),
+        m,
+        l_total,
+        tuple(int(x) for x in np.asarray(peq2).reshape(-1)),
+        interpret=interpret,
+    )
 
-    out = np.asarray(
-        _adapter_scan_call(
-            jnp.asarray(text),
-            jnp.asarray(lens),
-            m,
-            l_total,
-            tuple(int(x) for x in np.asarray(peq2).reshape(-1)),
-            interpret=interpret,
-        )
-    ).reshape(N_OUT, Bp)[:, :B]
+
+def unpack_scan_out(out: np.ndarray, B: int):
+    """(N_OUT, G, 128) or (N_OUT, Bp) kernel output -> (fwd, rc) dicts."""
+    out = out.reshape(N_OUT, -1)[:, :B]
 
     def unpack(base):
         return {
