@@ -15,7 +15,9 @@ import os
 import subprocess
 import sys
 
-PORT = 9733
+import random
+
+PORT = int(os.environ.get("SCTAG_SMOKE_PORT", 0)) or random.randint(20000, 40000)
 
 
 def worker(pid: int) -> None:
@@ -58,6 +60,7 @@ def main() -> None:
         return
     env = dict(os.environ)
     env["PYTHONPATH"] = ""  # drop the axon sitecustomize
+    env["SCTAG_SMOKE_PORT"] = str(PORT)  # same port in both workers
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
