@@ -18,8 +18,10 @@ import numpy as np
 from ..core.ranges import RangeMembership, detect_ranges, filter_alignments
 from ..io.fastq import read_fastqs
 from ..io.tsv import open_out
-from ..models.adapter import scan_adapters
+from ..models.adapter import AdapterScanResult, scan_adapters
 from ..observability import stage_scope
+from ..pipeline.checkpoint import PartStore, job_key
+from ..utils import batch_iter
 
 
 def run(args) -> None:
@@ -35,8 +37,52 @@ def _run(args, stats) -> None:
         file=sys.stderr,
     )
     stats.count("reads", len(seqs))
+    store = PartStore(
+        "extract_lr_bc_scan",
+        job_key(
+            "extract_lr_bc_scan",
+            list(args.reads),
+            {"sa": args.short_read_adapter, "z": bool(args.gzipped)},
+        ),
+    )
     with stats.timer("adapter_scan"):
-        scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
+        if store.enabled:
+            # batch-granular scan cache: per-read scan results are position-
+            # independent, so batches resume independently; the global parts
+            # (range detection, filtering) re-run cheaply from the cache
+            import os as _os
+
+            batch = int(_os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
+            parts = []
+            for bi, (s, e) in enumerate(batch_iter(len(seqs), batch)):
+                if store.has(bi, "npz"):
+                    parts.append(store.load_arrays(bi))
+                    stats.count("batches_skipped")
+                else:
+                    r = scan_adapters(
+                        seqs[s:e], args.short_read_adapter, progress=True
+                    )
+                    d = {
+                        "strands": r.strands,
+                        "dists": r.dists,
+                        "flat_locs": r.flat_locs,
+                        "loc_counts": r.loc_counts,
+                    }
+                    store.save_arrays(bi, **d)
+                    parts.append(d)
+                    stats.count("batches_computed")
+            scan = AdapterScanResult(
+                strands=np.concatenate([p["strands"] for p in parts])
+                if parts else np.empty(0, np.int8),
+                dists=np.concatenate([p["dists"] for p in parts])
+                if parts else np.empty(0, np.int32),
+                flat_locs=np.concatenate([p["flat_locs"] for p in parts])
+                if parts else np.empty(0, np.int64),
+                loc_counts=np.concatenate([p["loc_counts"] for p in parts])
+                if parts else np.empty(0, np.int64),
+            )
+        else:
+            scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
 
     preset = args.ranges
     if len(preset[0]) + len(preset[1]) == 0:

@@ -6,27 +6,53 @@ Input/behavior contract (scTagger.py:758-790):
   * long reads: cols 0 and 3 of EVERY row of the LR TSV (including dist=-1
     rows, whose segment is empty and can never match).
   * output row per MATCHED read only, ascending read id:
-      name \t e \t len(bids) \t seg \t bc1,bc2,...
+      name \t e \t n_bids \t seg \t bc1,bc2,...
     where the tie list is sorted by (bid, strand) with strand False (revcomp)
     before True (forward), and revcomp matches print rev_compl(barcode).
   * output gzipped only if the path ends with 'gz'.
   * --mem and --plotfile are accepted and unused (reference parity:
     scTagger.py:88-95,141 — parsed, never consumed).
+
+Optional batch-granular checkpointing: with SCTAG_CHECKPOINT_DIR set, the
+input is processed in SCTAG_CHECKPOINT_BATCH-row batches whose rendered rows
+persist as part files; re-runs skip completed batches (pipeline/checkpoint).
+Because batches are contiguous rid ranges and output rows are ascending-rid
+within a batch, concatenating parts reproduces the exact global output.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 from ..core.packing import rev_compl
 from ..io.tsv import open_out, read_lr_segments_tsv, read_sr_barcodes_tsv
 from ..models.matcher import match_segments
 from ..observability import stage_scope
+from ..pipeline.checkpoint import PartStore, job_key
+from ..utils import batch_iter
 
 
 def run(args) -> None:
     with stage_scope("match_trie") as stats:
         _run(args, stats)
+
+
+def _render_rows(result, names, segs, barcodes, rid_offset: int = 0) -> str:
+    fwd_strs = list(barcodes)
+    rc_strs = [rev_compl(b) for b in barcodes]
+    out = []
+    for i in range(result.rids.size):
+        rid = int(result.rids[i])
+        ties = result.ties_of(i)
+        matches = ",".join(
+            fwd_strs[p >> 1] if p & 1 else rc_strs[p >> 1] for p in ties
+        )
+        out.append(
+            f"{names[rid_offset + rid]}\t{result.dists[i]}\t{ties.size}\t"
+            f"{segs[rid]}\t{matches}\n"
+        )
+    return "".join(out)
 
 
 def _run(args, stats) -> None:
@@ -40,28 +66,47 @@ def _run(args, stats) -> None:
 
     stats.count("barcodes", len(barcodes))
     stats.count("reads", len(names))
-    with stats.timer("match"):
-        result = match_segments(
-            segments=segs,
-            barcodes=barcodes,
-            max_error=args.max_error,
-            progress=True,
-        )
-    stats.count("matched", int(result.rids.size))
 
+    store = PartStore(
+        "match_trie",
+        job_key(
+            "match_trie",
+            [args.long_read_segments, args.short_read_barcodes],
+            {"mr": args.max_error, "bl": args.barcode_length},
+        ),
+    )
     outfile = open_out(args.outfile, force_gzip=False)
-    # pre-render both print forms of every barcode once
-    fwd_strs = list(barcodes)
-    rc_strs = [rev_compl(b) for b in barcodes]
-    for i in range(result.rids.size):
-        rid = result.rids[i]
-        ties = result.ties_of(i)
-        matches = ",".join(
-            fwd_strs[p >> 1] if p & 1 else rc_strs[p >> 1] for p in ties
-        )
-        outfile.write(
-            f"{names[rid]}\t{result.dists[i]}\t{ties.size}\t{segs[rid]}\t"
-            f"{matches}\n"
-        )
+    n_matched = 0
+    with stats.timer("match"):
+        if store.enabled:
+            batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
+            for bi, (s, e) in enumerate(batch_iter(len(segs), batch)):
+                if store.has(bi, "tsv"):
+                    text = store.load_text(bi)
+                    stats.count("batches_skipped")
+                else:
+                    result = match_segments(
+                        segments=segs[s:e],
+                        barcodes=barcodes,
+                        max_error=args.max_error,
+                        progress=True,
+                    )
+                    text = _render_rows(
+                        result, names, segs[s:e], barcodes, rid_offset=s
+                    )
+                    store.save_text(bi, text)
+                    n_matched += int(result.rids.size)
+                    stats.count("batches_computed")
+                outfile.write(text)
+        else:
+            result = match_segments(
+                segments=segs,
+                barcodes=barcodes,
+                max_error=args.max_error,
+                progress=True,
+            )
+            n_matched = int(result.rids.size)
+            outfile.write(_render_rows(result, names, segs, barcodes))
+    stats.count("matched", n_matched)
     if outfile is not sys.stdout:
         outfile.close()

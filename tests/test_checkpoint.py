@@ -1,0 +1,138 @@
+"""Batch-granular checkpointing: byte-identical output, batches resume."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+import sctagger_tpu.models.adapter as adapter_mod
+import sctagger_tpu.stages.match_trie as mt_mod
+from sctagger_tpu.cli import main as cli_main
+
+from oracle import mutate, random_dna
+
+ADAPTER = "CTACACGACGCTCTTCCGATCT"
+
+
+def _match_inputs(tmp_path, rng, n_reads=60):
+    barcodes = sorted({random_dna(rng, 16) for _ in range(30)})
+    sr = tmp_path / "sr.tsv"
+    sr.write_text("".join(f"{b}\t3\n" for b in barcodes))
+    rows = []
+    for i in range(n_reads):
+        seg = random_dna(rng, 20)
+        if rng.random() < 0.7:
+            bc = mutate(rng, barcodes[int(rng.integers(len(barcodes)))],
+                        int(rng.integers(0, 3)))
+            seg = seg[:4] + bc + seg[4:]
+        rows.append(f"r{i}\t0\t3\t{seg}")
+    lr = tmp_path / "lr.tsv"
+    lr.write_text("\n".join(rows) + "\n")
+    return sr, lr
+
+
+def test_match_trie_checkpoint_resume(tmp_path, monkeypatch):
+    rng = np.random.default_rng(90)
+    sr, lr = _match_inputs(tmp_path, rng)
+    argv = ["match_trie", "-lr", str(lr), "-sr", str(sr), "-t", "1"]
+
+    # baseline without checkpointing
+    base_out = tmp_path / "base.tsv"
+    cli_main([*argv, "-o", str(base_out)])
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SCTAG_CHECKPOINT_DIR", str(ckpt))
+    monkeypatch.setenv("SCTAG_CHECKPOINT_BATCH", "16")
+
+    calls = []
+    real = mt_mod.match_segments
+    monkeypatch.setattr(
+        mt_mod, "match_segments",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+
+    out1 = tmp_path / "c1.tsv"
+    cli_main([*argv, "-o", str(out1)])
+    assert out1.read_text() == base_out.read_text()
+    n_first = len(calls)
+    assert n_first == 4  # 60 reads / 16 per batch
+
+    # delete one part: only that batch recomputes
+    parts = sorted(ckpt.glob("match_trie-*/part*.tsv"))
+    assert len(parts) == 4
+    parts[2].unlink()
+    calls.clear()
+    out2 = tmp_path / "c2.tsv"
+    cli_main([*argv, "-o", str(out2)])
+    assert out2.read_text() == base_out.read_text()
+    assert len(calls) == 1
+
+    # fully cached: zero recomputes
+    calls.clear()
+    out3 = tmp_path / "c3.tsv"
+    cli_main([*argv, "-o", str(out3)])
+    assert out3.read_text() == base_out.read_text()
+    assert len(calls) == 0
+
+
+def test_match_trie_checkpoint_key_invalidation(tmp_path, monkeypatch):
+    """Changing an input invalidates the part store (new key)."""
+    rng = np.random.default_rng(91)
+    sr, lr = _match_inputs(tmp_path, rng, n_reads=20)
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SCTAG_CHECKPOINT_DIR", str(ckpt))
+    argv = ["match_trie", "-lr", str(lr), "-sr", str(sr), "-t", "1"]
+    cli_main([*argv, "-o", str(tmp_path / "a.tsv")])
+    dirs1 = {p.name for p in ckpt.iterdir()}
+    import time
+
+    time.sleep(1.1)  # mtime resolution
+    lr.write_text(lr.read_text() + "rX\t0\t3\tACGTACGTACGTACGTAAAA\n")
+    cli_main([*argv, "-o", str(tmp_path / "b.tsv")])
+    dirs2 = {p.name for p in ckpt.iterdir()}
+    assert dirs2 - dirs1, "expected a fresh part store for changed input"
+
+
+def test_extract_lr_bc_checkpoint_resume(tmp_path, monkeypatch):
+    rng = np.random.default_rng(92)
+    lines = []
+    for i in range(40):
+        t = random_dna(rng, int(rng.integers(80, 160)))
+        if rng.random() < 0.6:
+            pos = int(rng.integers(0, 15))
+            t = t[:pos] + mutate(rng, ADAPTER, int(rng.integers(0, 2))) + t[pos:]
+        lines.append(f"@r{i}\n{t}\n+\n{'I' * len(t)}\n")
+    fq = tmp_path / "r.fastq"
+    fq.write_text("".join(lines))
+    argv = ["extract_lr_bc", "-r", str(fq), "-t", "1"]
+
+    base_out = tmp_path / "base.tsv.gz"
+    cli_main([*argv, "-o", str(base_out)])
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SCTAG_CHECKPOINT_DIR", str(ckpt))
+    monkeypatch.setenv("SCTAG_CHECKPOINT_BATCH", "16")
+
+    calls = []
+    real = adapter_mod.scan_adapters
+    import sctagger_tpu.stages.extract_lr_bc as s1_mod
+
+    monkeypatch.setattr(
+        s1_mod, "scan_adapters",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+
+    out1 = tmp_path / "c1.tsv.gz"
+    cli_main([*argv, "-o", str(out1)])
+    assert gzip.decompress(out1.read_bytes()) == gzip.decompress(
+        base_out.read_bytes()
+    )
+    assert len(calls) == 3  # 40 reads / 16
+
+    calls.clear()
+    out2 = tmp_path / "c2.tsv.gz"
+    cli_main([*argv, "-o", str(out2)])
+    assert gzip.decompress(out2.read_bytes()) == gzip.decompress(
+        base_out.read_bytes()
+    )
+    assert len(calls) == 0  # fully cached scan; ranges/filter recomputed
