@@ -113,6 +113,10 @@ def _run(args, stats) -> None:
     )
 
     stats.count("valid", int(valid.sum()))
+    # per-distance read counts — the numbers the stage-1 plot encodes
+    vals, cnts = np.unique(dist, return_counts=True)
+    for v, c in zip(vals, cnts):
+        stats.count(f"dist_{'NA' if v == -1 else int(v)}", int(c))
     outfile = open_out(args.outfile, force_gzip=True)
     print(f"Writng to {outfile}", file=sys.stderr)
     for i, (rname, seq) in enumerate(zip(rnames, seqs)):
