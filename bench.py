@@ -65,7 +65,9 @@ def make_inputs(n_segs: int, n_barcodes: int = 25_000, seed: int = 0):
 
 
 def main():
-    n_segs = int(os.environ.get("SCTAG_BENCH_SEGS", 200_000))
+    # default = 2 full device chunks: sliver chunks pad to the fixed kernel
+    # shape, so a non-multiple would measure ~25% padding waste
+    n_segs = int(os.environ.get("SCTAG_BENCH_SEGS", 262_144))
     from sctagger_tpu.runtime import configure_jax
 
     configure_jax()

@@ -38,6 +38,7 @@ from ..ops.myers import (
     build_peq_single,
     build_peq_single_mw,
 )
+from ..runtime import cpu_ctx as _cpu_ctx
 from ..utils import batch_iter, round_up
 
 # Quantile-based read-length buckets: each distinct kernel shape costs a
@@ -60,16 +61,6 @@ def _chunk_for(L: int) -> int:
     from ..ops.adapter_pallas import BLOCK_READS
 
     return max(BLOCK_READS, (_CHARS_BUDGET // max(L, 1)) // BLOCK_READS * BLOCK_READS)
-
-
-def _cpu_device():
-    """Small/rare computations run on the host CPU backend: their shapes are
-    data-dependent and tiny, so paying the (minutes-long) remote-TPU compile
-    for each would dominate wall time (axon remote compile)."""
-    try:
-        return jax.devices("cpu")[0]
-    except RuntimeError:
-        return None
 
 
 @dataclasses.dataclass
@@ -230,13 +221,9 @@ def _mask_chunk(
 ):
     """jnp mask path: exact full argmin-end sets via (L, B) masks.
 
-    Runs on the host CPU backend (see _cpu_device) — it only handles small
-    fallback batches and CPU-backend test runs."""
-    cpu = _cpu_device()
-    import contextlib
-
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
+    Runs on the host CPU backend (see runtime.cpu_ctx) — it only handles
+    small fallback batches and CPU-backend test runs."""
+    with _cpu_ctx():
         d, mask = _hw_block(
             jnp.asarray(codes.astype(np.int32).T),
             jnp.asarray(np.asarray(peq2)),
@@ -326,10 +313,7 @@ def _recover_rev_starts(
     )
 
     starts = np.empty(rids.size, dtype=np.int64)
-    cpu = _cpu_device()
-    import contextlib
-
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    ctx = _cpu_ctx()
     for s, e in batch_iter(rids.size, 8192):
         rr, ee = rids[s:e], ends[s:e]
         wins = []

@@ -36,10 +36,10 @@ from ..ops.myers import MAX_PATTERN_LEN, build_peq_multi, match_block_min
 from ..ops.match_pallas import (
     DEF_BP,
     DEF_BR,
-    match_best_tpu,
     prep_peq_cols,
     prep_segs_T,
 )
+from ..runtime import cpu_ctx as _cpu_ctx
 from ..utils import batch_iter, round_up
 
 PASS1_CHUNK = 131072  # segments per device call (large shape)
@@ -73,16 +73,6 @@ class MatchResult:
 
 def _use_tpu() -> bool:
     return jax.default_backend() == "tpu"
-
-
-def _cpu_ctx():
-    """Context pinning jnp work to the host CPU device (no-op if absent)."""
-    import contextlib
-
-    try:
-        return jax.default_device(jax.devices("cpu")[0])
-    except RuntimeError:
-        return contextlib.nullcontext()
 
 
 def _build_patterns(barcodes: Sequence[str], bl: int) -> np.ndarray:
@@ -121,16 +111,15 @@ def _min_dist_jnp_chunked(seg_T: np.ndarray, peq: np.ndarray, m: int) -> np.ndar
     mw = peq.ndim == 3
     P = peq.shape[-1]
     out = np.full(seg_T.shape[1], m, dtype=np.int32)
+    seg_j = jnp.asarray(seg_T)  # upload once, reuse across pattern blocks
     for s, e in batch_iter(P, 4096):
         if mw:
             block = np.asarray(
-                match_block_min_mw(
-                    jnp.asarray(seg_T), jnp.asarray(peq[:, :, s:e]), m
-                )
+                match_block_min_mw(seg_j, jnp.asarray(peq[:, :, s:e]), m)
             )
         else:
             block = np.asarray(
-                match_block_min(jnp.asarray(seg_T), jnp.asarray(peq[:, s:e]), m)
+                match_block_min(seg_j, jnp.asarray(peq[:, s:e]), m)
             )
         np.minimum(out, block, out=out)
     return out
@@ -189,17 +178,25 @@ def match_segments(
 
     # ---- single device sweep: min dist + running-min tie collection -------
     if on_tpu:
-        pending = []
-        for sub, seg_codes, ls in chunks:
+        MAX_INFLIGHT = 32  # bound HBM held by queued chunk inputs/outputs
+        pending: list[tuple[int, object]] = []
+
+        def _drain(limit: int) -> None:
+            while len(pending) > limit:
+                ci, dev = pending.pop(0)
+                sub = chunks[ci][0]
+                out = np.asarray(dev)[:, : sub.size]
+                min_dist[sub] = out[0]
+                tie_by_chunk[ci] = out[1:]
+
+        for ci, (sub, seg_codes, ls) in enumerate(chunks):
             # one compiled shape per bucket: always pad to the full chunk
             seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=PASS1_CHUNK)
             pending.append(
-                match_full_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl)
+                (ci, match_full_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl))
             )
-        for ci, ((sub, _codes, _ls), dev) in enumerate(zip(chunks, pending)):
-            out = np.asarray(dev)[:, : sub.size]
-            min_dist[sub] = out[0]
-            tie_by_chunk[ci] = out[1:]
+            _drain(MAX_INFLIGHT)
+        _drain(0)
     else:
         # jnp fallback (CPU backends, or multi-word barcodes): pin to the
         # host CPU device so a TPU machine never pays per-shape remote
@@ -258,8 +255,7 @@ def match_segments(
                         )
 
     if overflow_meta:
-        _escalate_ties(overflow_meta, peq_pm, peq, min_dist, bl, n_pat,
-                       on_tpu, overflow)
+        _escalate_ties(overflow_meta, peq, min_dist, bl, n_pat, overflow)
 
     return MatchResult(
         rids=matched.astype(np.int64),
@@ -270,21 +266,13 @@ def match_segments(
     )
 
 
-def _escalate_ties(
-    overflow_meta, peq_pm, peq, min_dist, bl, n_pat, on_tpu, overflow
-) -> None:
+def _escalate_ties(overflow_meta, peq, min_dist, bl, n_pat, overflow) -> None:
     """Reads whose tie set exceeds TIES_K: full best-matrix + big top_k.
 
     Always runs on the host CPU backend: overflow reads are rare and their
     shapes data-dependent, so a remote-TPU compile per shape would dominate
     (axon compiles take minutes)."""
-    import contextlib
-
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    ctx = _cpu_ctx()
     ls = max(o[2] for o in overflow_meta)
     codes = np.full((len(overflow_meta), ls), CODE_PAD, dtype=np.uint8)
     for i, (_rid, c, _lsi) in enumerate(overflow_meta):

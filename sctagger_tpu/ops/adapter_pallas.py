@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import cdiv, round_up
+from .myers import high_bit
 
 SLOTS_K = 4
 N_OUT = 16  # rows [d, cnt, max, s0..s3] x 2 patterns = 14, padded to 16
@@ -76,7 +77,7 @@ def _kernel(
         out_ref[7] = jnp.full((8, 128), m, jnp.int32)  # running min d2
 
     lens = len_ref[:, :]
-    high = jnp.int32(1 << (m - 1))
+    high = jnp.int32(high_bit(m))
 
     def body(jj, carry):
         s1, s2 = carry

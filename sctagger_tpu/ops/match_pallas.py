@@ -34,13 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 import numpy as np
 
 from ..utils import round_up
+from .myers import high_bit
 
 DEF_BR = 1024  # reads per block (lanes); best of tools/sweep_blocks.py
 DEF_BP = 256  # patterns per block (sublanes)
 
 
 def _myers_hw_step(pv, mv, score, eq, m: int):
-    high = jnp.int32(1 << (m - 1))
+    high = jnp.int32(high_bit(m))
     xv = eq | mv
     xh = (((eq & pv) + pv) ^ pv) | eq
     ph = mv | ~(xh | pv)

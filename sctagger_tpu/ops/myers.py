@@ -33,6 +33,12 @@ from ..core.packing import CODE_PAD
 MAX_PATTERN_LEN = 32
 
 
+def high_bit(m: int) -> int:
+    """Bit-(m-1) mask as a PYTHON int valid for jnp.int32 (m=32 would
+    overflow a naive `1 << 31`; two's-complement wrap keeps the bit pattern)."""
+    return int(np.int32(np.uint32(1 << (m - 1))))
+
+
 # ---------------------------------------------------------------------------
 # Peq construction (host-side, numpy)
 # ---------------------------------------------------------------------------
@@ -70,7 +76,7 @@ def _step(pv, mv, score, eq, m: int, shw: bool):
     gap). ``shw=True``: SHW/prefix mode (first row = column index — leading
     text gap penalized), realized by the carry-in bit on Ph's shift.
     """
-    high = jnp.int32(1 << (m - 1))
+    high = jnp.int32(high_bit(m))
     one = jnp.int32(1)
     xv = eq | mv
     xh = (((eq & pv) + pv) ^ pv) | eq

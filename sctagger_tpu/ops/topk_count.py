@@ -29,22 +29,25 @@ def _count_and_rank(keys, valid):
     of [0, N) ordering unique slots by (count desc, first asc).
     """
     n = keys.shape[0]
-    big = jnp.uint32(0xFFFFFFFF)
-    k = jnp.where(valid, keys.astype(jnp.uint32), big)
+    # validity is a leading SORT KEY (not an in-band sentinel value), so every
+    # uint32 key — including 0xFFFFFFFF, a real all-T 16-mer — counts correctly
+    inv = (~valid).astype(jnp.int32)
+    k = keys.astype(jnp.uint32)
     idx = jnp.arange(n, dtype=jnp.int32)
-    sk, si = jax.lax.sort((k, idx), num_keys=1)
-    is_start = jnp.concatenate(
+    s_inv, sk, si = jax.lax.sort((inv, k, idx), num_keys=2)
+    ok = s_inv == 0  # valid entries sort first
+    is_start = ok & jnp.concatenate(
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
-    ) & (sk != big)
+    )
     seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    seg = jnp.where(sk == big, n - 1, seg)  # dump invalids on a dead slot
-    ones = jnp.where(sk != big, 1, 0).astype(jnp.int32)
+    seg = jnp.where(ok, seg, n - 1)  # dump invalids on a dead slot
+    ones = ok.astype(jnp.int32)
     counts = jnp.zeros((n,), jnp.int32).at[seg].add(ones, mode="drop")
     first = jnp.full((n,), n, jnp.int32).at[seg].min(
-        jnp.where(sk != big, si, n), mode="drop"
+        jnp.where(ok, si, n), mode="drop"
     )
     uniq = jnp.zeros((n,), jnp.uint32).at[seg].max(
-        jnp.where(sk != big, sk, 0), mode="drop"
+        jnp.where(ok, sk, 0), mode="drop"
     )
     n_unique = is_start.sum()
     # rank by (count desc, first asc); empty slots (count 0) sink to the end

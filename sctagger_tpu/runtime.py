@@ -25,6 +25,20 @@ def configure_jax(cache_dir: str | None = None) -> None:
         pass  # cache is an optimization only
 
 
+def cpu_ctx():
+    """Context manager pinning jnp work to the host CPU device (no-op when
+    no CPU backend exists). Small/data-dependent-shape computations use this
+    to avoid per-shape remote compiles on the TPU backend."""
+    import contextlib
+
+    import jax
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 def backend() -> str:
     import jax
 

@@ -95,8 +95,8 @@ def _run(args, stats) -> None:
                         result, names, segs[s:e], barcodes, rid_offset=s
                     )
                     store.save_text(bi, text)
-                    n_matched += int(result.rids.size)
                     stats.count("batches_computed")
+                n_matched += text.count("\n")  # exact also for cached parts
                 outfile.write(text)
         else:
             result = match_segments(

@@ -16,6 +16,16 @@ from oracle import hw_score_columns, shw_score_columns, mutate, random_dna
 ADAPTER = "CTACACGACGCTCTTCCGATCT"  # reference default, scTagger.py:42
 
 
+def test_exact_32bp_pattern():
+    """m == 32 is the single-word boundary: 1 << 31 must not overflow."""
+    rng = np.random.default_rng(31)
+    pat = random_dna(rng, 32)
+    texts = [random_dna(rng, 60), "AA" + pat + "CC", mutate(rng, pat, 2)]
+    got = _scores_single(pat, texts)
+    for b, t in enumerate(texts):
+        np.testing.assert_array_equal(got[b, : len(t)], hw_score_columns(pat, t))
+
+
 def _scores_single(pattern: str, texts: list[str], shw=False) -> np.ndarray:
     L = max(len(t) for t in texts)
     codes, _ = encode_seqs(texts, pad_to=L)

@@ -49,8 +49,9 @@ def test_count_and_rank_valid_mask_and_empty():
 
 
 def test_count_and_rank_max_key():
-    # 0xFFFFFFFF is the internal invalid sentinel; real keys may not use it,
-    # which holds for the pipeline (abs(barcode index) < 2^31)
-    vals = np.array([0, 0, 2**31 - 1], dtype=np.uint32)
+    # 0xFFFFFFFF is a legitimate key (an all-T packed 16-mer) and must count
+    vals = np.array([0, 0, 0xFFFFFFFF, 2**31 - 1, 0xFFFFFFFF], dtype=np.uint32)
     keys, counts = count_and_rank(vals)
-    assert list(zip(keys.tolist(), counts.tolist())) == [(0, 2), (2**31 - 1, 1)]
+    assert list(zip(keys.tolist(), counts.tolist())) == [
+        (0, 2), (0xFFFFFFFF, 2), (2**31 - 1, 1)
+    ]
