@@ -122,3 +122,25 @@ def test_match_trie_tiny_whitelist(tmp_path):
     rows = out.read_text().strip().split("\n")
     assert len(rows) == 2
     assert rows[0].split("\t")[4] == "AAAAAACCGGTTACGT"
+
+
+def test_stage2_plotfile(tmp_path):
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from bamgen import write_bam
+
+    rng = np.random.default_rng(73)
+    pool = [random_dna(rng, 16) for _ in range(8)]
+    alns = {"chr1": [
+        {"flag": 0, "name": f"q{i}",
+         "tags": [["CB", pool[int(rng.integers(8))] + "-1"]]}
+        for i in range(200)
+    ]}
+    path = str(tmp_path / "p.bam")
+    write_bam(path, ["chr1"], alns)
+    out = tmp_path / "o.tsv.gz"
+    plot = tmp_path / "p.png"
+    cli_main(["extract_sr_bc", "-i", path, "--step-size", "2",
+              "-o", str(out), "-p", str(plot)])
+    assert plot.exists() and out.exists()
