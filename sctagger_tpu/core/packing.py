@@ -86,6 +86,28 @@ def encode_seqs(
     return out, lengths
 
 
+def seq_lengths(seqs) -> np.ndarray:
+    """Per-row lengths for either a list[str] or an io.fastq.SeqBuffer."""
+    lens = getattr(seqs, "lengths", None)
+    if lens is not None:
+        return np.asarray(lens, dtype=np.int32)
+    return np.fromiter((len(s) for s in seqs), count=len(seqs), dtype=np.int32)
+
+
+def encode_rows(
+    seqs, idx, pad_to: int, table: np.ndarray = STRICT_TABLE, dtype=np.uint8
+) -> tuple[np.ndarray, np.ndarray]:
+    """encode_seqs on the selected rows ``idx`` of ``seqs``.
+
+    Dispatches to the native batch encoder when ``seqs`` is a SeqBuffer
+    (no per-read string materialization), else to the Python path.
+    """
+    enc = getattr(seqs, "encode_batch", None)
+    if enc is not None:
+        return enc(idx, pad_to, table, CODE_PAD, dtype)
+    return encode_seqs([seqs[i] for i in idx], pad_to, table, dtype)
+
+
 def revcomp_codes(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Reverse-complement padded code arrays row-wise (3-code for ACGT, pad kept)."""
     n, L = codes.shape

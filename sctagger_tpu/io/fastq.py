@@ -4,16 +4,116 @@ Reference (scTagger.py:159-173): per file, line index resets; line%4==0 gives
 the name (first whitespace token, minus the leading '@'), line%4==1 gives the
 sequence (rstripped). gzip is used when the flag is set OR the filename ends
 with '.gz'.
+
+Two readers share those semantics:
+
+* the native C++ reader/packer (native/fastq_reader.cpp) — the default. It
+  returns sequences as one flat byte buffer + offsets wrapped in
+  :class:`SeqBuffer`, so the hot stage-1 path (length stats, batch encoding,
+  segment slicing) never materializes per-read Python strings;
+* the pure-Python reader (``read_fastqs_py``) — fallback when the native
+  library is unavailable, and the oracle the native parser is tested against.
 """
 
 from __future__ import annotations
 
-import gzip
 import sys
 from typing import Sequence
 
+import numpy as np
 
-def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = False):
+
+class SeqBuffer:
+    """Flat byte buffer + offsets view of a batch of sequences.
+
+    Duck-compatible with ``list[str]`` where the stages need it (``len``,
+    ``seqs[i] -> str``, iteration, slicing to a sub-batch, equality), plus
+    fast vectorized paths: ``.lengths`` (no string walk) and
+    ``.encode_batch`` (C++ table-encode straight into a padded code matrix).
+    ``buf`` offsets are absolute, so slices share the buffer.
+    """
+
+    def __init__(self, buf: np.ndarray, offs: np.ndarray):
+        assert buf.dtype == np.uint8 and offs.dtype == np.int64
+        self.buf = buf
+        self.offs = offs  # (n+1,) absolute offsets into buf
+
+    def __len__(self) -> int:
+        return len(self.offs) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offs)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(len(self))
+            if step != 1:
+                raise IndexError("SeqBuffer slices must be contiguous")
+            return SeqBuffer(self.buf, self.offs[start : stop + 1])
+        o0, o1 = int(self.offs[i]), int(self.offs[i + 1])
+        return self.buf[o0:o1].tobytes().decode("latin-1")
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other):
+        if isinstance(other, SeqBuffer):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other)
+            )
+        if isinstance(other, (list, tuple)):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other)
+            )
+        return NotImplemented
+
+    def substr(self, i: int, s, e) -> str:
+        """``seqs[i][s:e]`` with Python slice semantics, without building the
+        full read string (s/e may be negative or None)."""
+        o0, o1 = int(self.offs[i]), int(self.offs[i + 1])
+        return self.buf[o0:o1][s:e].tobytes().decode("latin-1")
+
+    def encode_batch(
+        self, idx, pad_to: int, table: np.ndarray, pad_code: int, dtype=np.uint8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Native equivalent of core.packing.encode_seqs on rows ``idx``."""
+        from ..native import build as native_build
+
+        idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+        lens = self.lengths[idx] if idx.size else np.empty(0, np.int64)
+        if idx.size and int(lens.max(initial=0)) > pad_to:
+            raise ValueError(
+                f"sequence length {int(lens.max())} > pad_to={pad_to}"
+            )
+        # np.zeros, NOT np.empty: calloc-backed pages fault fast on this
+        # host; malloc-backed (empty/full) fault at ~500us/page (CLAUDE.md)
+        out = np.zeros((idx.size, pad_to), dtype=np.uint8)
+        if idx.size:
+            lib = native_build.load()
+            table = np.ascontiguousarray(table, dtype=np.uint8)
+            lib.sctag_encode_rows(
+                self.buf.ctypes.data,
+                self.offs.ctypes.data,
+                idx.ctypes.data,
+                idx.size,
+                table.ctypes.data,
+                pad_code,
+                pad_to,
+                out.ctypes.data,
+            )
+        if dtype != np.uint8:
+            out = out.astype(dtype)
+        return out, lens.astype(np.int32)
+
+
+def read_fastqs_py(
+    fastqs: Sequence[str], gzipped: bool = False, quiet: bool = False
+):
+    """Pure-Python reader (reference-transliterated semantics)."""
+    import gzip
+
     rnames: list[str] = []
     seqs: list[str] = []
     for fastq in fastqs:
@@ -31,3 +131,96 @@ def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = Fals
                 elif r == 1:
                     seqs.append(line.rstrip())
     return rnames, seqs
+
+
+def _read_fastq_native(path: str):
+    """One file via the C++ parser -> (names list, seq bytes, offsets)."""
+    import ctypes
+
+    from ..native import build as native_build
+
+    lib = native_build.load()
+    names_buf = ctypes.c_char_p()
+    names_len = ctypes.c_int64()
+    n_names = ctypes.c_int64()
+    seq_buf = ctypes.c_char_p()
+    seq_offs = ctypes.POINTER(ctypes.c_int64)()
+    n_seqs = ctypes.c_int64()
+    err = ctypes.c_char_p()
+    rc = lib.sctag_read_fastq(
+        path.encode(),
+        ctypes.byref(names_buf),
+        ctypes.byref(names_len),
+        ctypes.byref(n_names),
+        ctypes.byref(seq_buf),
+        ctypes.byref(seq_offs),
+        ctypes.byref(n_seqs),
+        ctypes.byref(err),
+    )
+    if rc != 0:
+        msg = err.value.decode() if err.value else "unknown error"
+        lib.sctag_free(err)
+        raise OSError(f"{path}: {msg}")
+    try:
+        nb = ctypes.string_at(names_buf, names_len.value)
+        # one C-level split: names were '\n'-terminated by the parser
+        names = nb.decode("latin-1").split("\n")[:-1] if nb else []
+        n = n_seqs.value
+        sz = int(seq_offs[n])
+        # string_at -> frombuffer keeps the data in PyBytes-backed memory and
+        # avoids big fresh numpy allocations: on this host, first-touch page
+        # faults on malloc-backed numpy buffers run ~500us/page (see
+        # CLAUDE.md), while PyBytes allocation+write is ~1 GB/s. The arrays
+        # are read-only views over the bytes (we never mutate them).
+        buf = np.frombuffer(ctypes.string_at(seq_buf, sz), dtype=np.uint8)
+        offs = np.frombuffer(
+            ctypes.string_at(seq_offs, 8 * (n + 1)), dtype=np.int64
+        )
+    finally:
+        lib.sctag_free(names_buf)
+        lib.sctag_free(seq_buf)
+        lib.sctag_free(seq_offs)
+    return names, buf, offs
+
+
+def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = False):
+    """Read FASTQ files -> (names: list[str], seqs: SeqBuffer | list[str]).
+
+    Uses the native parser (gzip auto-detected by zlib, so the ``gzipped``
+    flag and the ``.gz`` suffix rule are both subsumed); falls back to the
+    Python reader if the native library cannot be built/loaded.
+    """
+    try:
+        from ..native import build as native_build
+
+        native_build.ensure_built()
+    except Exception:
+        return read_fastqs_py(fastqs, gzipped, quiet)
+
+    rnames: list[str] = []
+    bufs: list[np.ndarray] = []
+    offs_parts: list[np.ndarray] = []
+    for fastq in fastqs:
+        if not quiet:
+            print(f"Reading {fastq}", file=sys.stderr)
+        names, buf, offs = _read_fastq_native(fastq)
+        rnames.extend(names)
+        bufs.append(buf)
+        offs_parts.append(offs)
+    if len(bufs) == 1:
+        return rnames, SeqBuffer(bufs[0], offs_parts[0])
+    # multi-file: assemble into calloc-backed arrays (np.zeros — see
+    # CLAUDE.md page-fault note); offsets are rebased per file
+    total_sz = sum(b.size for b in bufs)
+    total_n = sum(len(o) - 1 for o in offs_parts)
+    all_buf = np.zeros(total_sz, np.uint8)
+    all_offs = np.zeros(total_n + 1, np.int64)
+    bpos = 0
+    npos = 0
+    for buf, offs in zip(bufs, offs_parts):
+        all_buf[bpos : bpos + buf.size] = buf
+        cnt = len(offs) - 1
+        np.add(offs[1:], bpos, out=all_offs[npos + 1 : npos + 1 + cnt])
+        bpos += buf.size
+        npos += cnt
+    return rnames, SeqBuffer(all_buf, all_offs)

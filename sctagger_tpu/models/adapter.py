@@ -28,7 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.packing import STRICT_TABLE, encode_seqs, encode_str, rev_compl
+from ..core.packing import (
+    STRICT_TABLE,
+    encode_rows,
+    encode_seqs,
+    encode_str,
+    rev_compl,
+    seq_lengths,
+)
 from ..ops.myers import (
     MAX_PATTERN_LEN,
     _scores_scan,
@@ -39,7 +46,7 @@ from ..ops.myers import (
     build_peq_single_mw,
 )
 from ..runtime import cpu_ctx as _cpu_ctx
-from ..utils import batch_iter, round_up
+from ..utils import batch_iter, full_fast, round_up
 
 # Quantile-based read-length buckets: each distinct kernel shape costs a
 # full remote compile per process on the axon backend (~3.5 min, not
@@ -123,11 +130,11 @@ def scan_adapters(
         build_peq_multi_mw(pat_stack) if mw else build_peq_multi(pat_stack)
     )
     n = len(seqs)
-    lengths = np.fromiter((len(s) for s in seqs), count=n, dtype=np.int32)
+    lengths = seq_lengths(seqs)
     buckets = _read_buckets(lengths)
 
-    strands = np.full(n, -1, dtype=np.int8)
-    dists = np.full(n, -1, dtype=np.int32)
+    strands = full_fast(n, -1, np.int8)
+    dists = full_fast(n, -1, np.int32)
     locs_per_read: list[np.ndarray | None] = [None] * n
 
     order = np.argsort(lengths, kind="stable")
@@ -163,7 +170,7 @@ def scan_adapters(
             print(f"[scan] bucket<= {L}: {idx.size} reads", file=sys.stderr)
         for s, e in batch_iter(idx.size, chunk):
             sub = idx[s:e]
-            codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
+            codes, _ = encode_rows(seqs, sub, pad_to=L)
             if use_kernel:
                 # async dispatch: device crunches while the host encodes the
                 # next chunk. ONE batch shape per bucket (sliver chunks pad
@@ -193,7 +200,7 @@ def scan_adapters(
         for s, e in batch_iter(ov.size, 256):
             sub = ov[s:e]
             L = int(round_up(max(lengths[sub].max(), 1), 32))
-            codes, _ = encode_seqs([seqs[i] for i in sub], pad_to=L)
+            codes, _ = encode_rows(seqs, sub, pad_to=L)
             _mask_chunk(
                 codes, lengths[sub], peq2, m, sub,
                 strands, dists, locs_per_read,
@@ -312,14 +319,16 @@ def _recover_rev_starts(
         else build_peq_single(rev_codes)
     )
 
-    starts = np.empty(rids.size, dtype=np.int64)
+    starts = np.zeros(rids.size, dtype=np.int64)
+    # small slices only: SeqBuffer.substr avoids building full read strings
+    substr = getattr(seqs, "substr", None) or (lambda r, a, b: seqs[r][a:b])
     ctx = _cpu_ctx()
     for s, e in batch_iter(rids.size, 8192):
         rr, ee = rids[s:e], ends[s:e]
         wins = []
         for r, en in zip(rr, ee):
             w0 = max(0, int(en) - W + 1)
-            wins.append(seqs[r][w0 : int(en) + 1][::-1])
+            wins.append(substr(int(r), w0, int(en) + 1)[::-1])
         codes, wl = encode_seqs(wins, pad_to=W)
         with ctx:
             k_last = np.asarray(

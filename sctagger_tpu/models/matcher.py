@@ -40,7 +40,7 @@ from ..ops.match_pallas import (
     prep_segs_T,
 )
 from ..runtime import cpu_ctx as _cpu_ctx
-from ..utils import batch_iter, round_up
+from ..utils import batch_iter, full_fast, round_up
 
 PASS1_CHUNK = 131072  # segments per device call (large shape)
 
@@ -110,7 +110,7 @@ def _min_dist_jnp_chunked(seg_T: np.ndarray, peq: np.ndarray, m: int) -> np.ndar
 
     mw = peq.ndim == 3
     P = peq.shape[-1]
-    out = np.full(seg_T.shape[1], m, dtype=np.int32)
+    out = full_fast(seg_T.shape[1], m, np.int32)
     seg_j = jnp.asarray(seg_T)  # upload once, reuse across pattern blocks
     for s, e in batch_iter(P, 4096):
         if mw:
@@ -149,7 +149,7 @@ def match_segments(
     lengths = np.fromiter((len(s) for s in segments), count=n, dtype=np.int32)
     buckets = _seg_buckets(lengths)
 
-    min_dist = np.full(n, bl, dtype=np.int32)
+    min_dist = full_fast(n, bl, np.int32)
     order = np.argsort(lengths, kind="stable")
 
     # ---- encode once, bucketed by length ----------------------------------
@@ -274,7 +274,7 @@ def _escalate_ties(overflow_meta, peq, min_dist, bl, n_pat, overflow) -> None:
     (axon compiles take minutes)."""
     ctx = _cpu_ctx()
     ls = max(o[2] for o in overflow_meta)
-    codes = np.full((len(overflow_meta), ls), CODE_PAD, dtype=np.uint8)
+    codes = full_fast((len(overflow_meta), ls), CODE_PAD, np.uint8)
     for i, (_rid, c, _lsi) in enumerate(overflow_meta):
         codes[i, : c.shape[0]] = c
     rids = np.array([o[0] for o in overflow_meta], dtype=np.int64)

@@ -1,27 +1,28 @@
-"""Build/load the native host library (BGZF+BAM reader).
+"""Build/load the native host library (BGZF+BAM reader, FASTQ reader/packer).
 
 Compiled on demand with g++ (no pybind11 in this image — plain C ABI +
-ctypes). The .so is cached next to the source and rebuilt when the source is
+ctypes). The .so is cached next to the sources and rebuilt when any source is
 newer.
 """
 
 from __future__ import annotations
 
-import os
 import pathlib
 import subprocess
 
 _DIR = pathlib.Path(__file__).resolve().parent
-_SRC = _DIR / "bam_reader.cpp"
+_SRCS = [_DIR / "bam_reader.cpp", _DIR / "fastq_reader.cpp"]
 _LIB = _DIR / "libsctag_io.so"
 
 
 def ensure_built() -> pathlib.Path:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+    if _LIB.exists() and all(
+        _LIB.stat().st_mtime >= s.stat().st_mtime for s in _SRCS
+    ):
         return _LIB
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_LIB), "-lz",
+        *map(str, _SRCS), "-o", str(_LIB), "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     return _LIB
@@ -39,6 +40,28 @@ def load():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.sctag_read_fastq.restype = ctypes.c_int
+    lib.sctag_read_fastq.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_char_p),    # names_buf
+        ctypes.POINTER(ctypes.c_int64),     # names_len
+        ctypes.POINTER(ctypes.c_int64),     # n_names
+        ctypes.POINTER(ctypes.c_char_p),    # seq_buf
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),  # seq_offs
+        ctypes.POINTER(ctypes.c_int64),     # n_seqs
+        ctypes.POINTER(ctypes.c_char_p),    # error
+    ]
+    lib.sctag_encode_rows.restype = None
+    lib.sctag_encode_rows.argtypes = [
+        ctypes.c_void_p,                    # seq_buf (numpy data pointer)
+        ctypes.c_void_p,                    # offs
+        ctypes.c_void_p,                    # idx
+        ctypes.c_int64,                     # n_idx
+        ctypes.c_void_p,                    # table (256 bytes)
+        ctypes.c_ubyte,                     # pad_code
+        ctypes.c_int64,                     # pad_to
+        ctypes.c_void_p,                    # out
     ]
     lib.sctag_free.restype = None
     lib.sctag_free.argtypes = [ctypes.c_void_p]

@@ -1,0 +1,193 @@
+// TPU-native host-ingest path for FASTQ: gzip/plain decode + record parsing
+// + batch 2-bit-code packing, replacing the Python-loop reader for the
+// stage-1 hot path (reference read_fastqs, scTagger.py:159-173).
+//
+// Parsing reproduces the reference's text semantics exactly:
+//   * per file, line index counts from 0; line%4==0 is the header, line%4==1
+//     the sequence, other lines ignored;
+//   * header name = first whitespace-delimited token minus its first char
+//     (Python `l.split()[0][1:]`) — leading whitespace skipped, token may be
+//     just "@" (empty name); an all-whitespace header is an error (the
+//     Python reader raises IndexError there);
+//   * sequence = line with TRAILING whitespace stripped (Python l.rstrip());
+//     leading whitespace is kept;
+//   * universal newlines: lines end at '\n', '\r', or "\r\n" (Python 'rt'
+//     mode); a final line without a terminator still counts.
+//
+// gzopen reads both gzip and plain files transparently, so one path serves
+// the reference's `gzipped or name.endswith('.gz')` rule and plain files.
+//
+// Build: part of libsctag_io.so (see build.py).
+
+#include <cctype>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct FastqOut {
+    std::string names;            // '\n'-joined (trailing '\n' per name)
+    std::string seqs;             // concatenated, no separators
+    std::vector<int64_t> offs;    // n_seqs + 1 offsets into seqs
+    int64_t n_names = 0;
+    std::string error;
+};
+
+inline bool is_ws(unsigned char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\v' || c == '\f' ||
+           c == '\r';
+}
+
+class FastqParser {
+  public:
+    explicit FastqParser(FastqOut& out) : out_(out) { out_.offs.push_back(0); }
+
+    bool feed(const char* data, size_t n) {
+        for (size_t i = 0; i < n; i++) {
+            char c = data[i];
+            if (prev_cr_) {
+                prev_cr_ = false;
+                if (c == '\n') continue;  // "\r\n" already terminated the line
+            }
+            if (c == '\n') {
+                if (!finish_line()) return false;
+            } else if (c == '\r') {
+                prev_cr_ = true;
+                if (!finish_line()) return false;
+            } else {
+                line_.push_back(c);
+            }
+        }
+        return true;
+    }
+
+    bool eof() {
+        if (!line_.empty()) return finish_line();
+        return true;
+    }
+
+  private:
+    bool finish_line() {
+        int r = line_idx_ & 3;
+        if (r == 0) {
+            size_t i = 0, n = line_.size();
+            while (i < n && is_ws((unsigned char)line_[i])) i++;
+            size_t start = i;
+            while (i < n && !is_ws((unsigned char)line_[i])) i++;
+            if (i == start) {
+                out_.error = "malformed header line (no token)";
+                return false;
+            }
+            // token minus its first char, exactly `l.split()[0][1:]`
+            out_.names.append(line_, start + 1, i - start - 1);
+            out_.names.push_back('\n');
+            out_.n_names++;
+        } else if (r == 1) {
+            size_t j = line_.size();
+            while (j > 0 && is_ws((unsigned char)line_[j - 1])) j--;
+            out_.seqs.append(line_, 0, j);
+            out_.offs.push_back((int64_t)out_.seqs.size());
+        }
+        line_idx_++;
+        line_.clear();
+        return true;
+    }
+
+    FastqOut& out_;
+    std::string line_;
+    int64_t line_idx_ = 0;
+    bool prev_cr_ = false;
+};
+
+char* dup_malloc(const std::string& s) {
+    char* p = (char*)std::malloc(s.size() + 1);
+    std::memcpy(p, s.data(), s.size() + 1);
+    return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse one FASTQ file (gzip or plain, auto-detected by zlib). Returns 0 on
+// success; on failure *error holds a malloc'd message. All output buffers are
+// malloc'd; free each with sctag_free.
+//   names_buf : '\n'-terminated name per header line (n_names entries)
+//   seq_buf   : concatenated sequence bytes
+//   seq_offs  : n_seqs + 1 int64 offsets into seq_buf
+int sctag_read_fastq(const char* path, char** names_buf, int64_t* names_len,
+                     int64_t* n_names, char** seq_buf, int64_t** seq_offs,
+                     int64_t* n_seqs, char** error) {
+    *names_buf = nullptr;
+    *seq_buf = nullptr;
+    *seq_offs = nullptr;
+    *names_len = *n_names = *n_seqs = 0;
+    *error = nullptr;
+
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        *error = dup_malloc("cannot open file");
+        return 1;
+    }
+    gzbuffer(f, 1 << 20);
+
+    FastqOut out;
+    FastqParser parser(out);
+    std::vector<char> chunk(1 << 22);
+    bool ok = true;
+    for (;;) {
+        int got = gzread(f, chunk.data(), (unsigned)chunk.size());
+        if (got < 0) {
+            out.error = "gzip read error";
+            ok = false;
+            break;
+        }
+        if (got == 0) break;
+        if (!parser.feed(chunk.data(), (size_t)got)) {
+            ok = false;
+            break;
+        }
+    }
+    if (ok) ok = parser.eof();
+    gzclose(f);
+    if (!ok) {
+        *error = dup_malloc(out.error);
+        return 1;
+    }
+
+    *names_buf = dup_malloc(out.names);
+    *names_len = (int64_t)out.names.size();
+    *n_names = out.n_names;
+    *seq_buf = dup_malloc(out.seqs);
+    *n_seqs = (int64_t)out.offs.size() - 1;
+    *seq_offs =
+        (int64_t*)std::malloc(sizeof(int64_t) * out.offs.size());
+    std::memcpy(*seq_offs, out.offs.data(), sizeof(int64_t) * out.offs.size());
+    return 0;
+}
+
+// Encode selected rows of a flat sequence buffer into a padded code matrix:
+// out[i, j] = table[seq_buf[offs[idx[i]] + j]] for j < row_len, pad_code
+// after. out must hold n_idx * pad_to bytes; rows longer than pad_to are the
+// caller's error to prevent (mirrors core.packing.encode_seqs).
+void sctag_encode_rows(const char* seq_buf, const int64_t* offs,
+                       const int64_t* idx, int64_t n_idx,
+                       const unsigned char* table, unsigned char pad_code,
+                       int64_t pad_to, unsigned char* out) {
+    for (int64_t i = 0; i < n_idx; i++) {
+        int64_t o0 = offs[idx[i]];
+        int64_t len = offs[idx[i] + 1] - o0;
+        if (len > pad_to) len = pad_to;
+        unsigned char* dst = out + i * pad_to;
+        const unsigned char* src = (const unsigned char*)seq_buf + o0;
+        for (int64_t j = 0; j < len; j++) dst[j] = table[src[j]];
+        if (len < pad_to) std::memset(dst + len, pad_code, (size_t)(pad_to - len));
+    }
+}
+
+}  // extern "C"

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils import cdiv, round_up
+from ..utils import cdiv, full_fast, round_up
 from .myers import high_bit
 
 SLOTS_K = 4
@@ -217,8 +217,8 @@ def adapter_scan_dispatch(
     l_total = round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
     Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
     assert Bp % BLOCK_READS == 0 and Bp >= B, (Bp, B)
-    text = np.full((l_total, Bp), 4, dtype=np.int8)
-    text[:L, :B] = codes.T.astype(np.int8)
+    text = full_fast((l_total, Bp), 4, np.int8)
+    text[:L, :B] = codes.T  # cast during copy; no intermediate .astype
     text = text.reshape(l_total, Bp // 128, 128)
     lens = np.zeros((Bp,), np.int32)
     lens[:B] = lengths

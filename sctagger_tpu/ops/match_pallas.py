@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 import numpy as np
 
-from ..utils import round_up
+from ..utils import full_fast, round_up
 from .myers import high_bit
 
 DEF_BR = 1024  # reads per block (lanes); best of tools/sweep_blocks.py
@@ -299,8 +299,10 @@ def prep_segs_T(
     R = seg_codes.shape[0]
     rp = round_up(max(R, 1), br) if r_pad is None else r_pad
     assert rp % br == 0 and rp >= R, (rp, br, R)
-    out = np.full((ls, rp), 4, dtype=np.int8)
-    out[: min(ls, seg_codes.shape[1]), :R] = seg_codes.T[:ls].astype(np.int8)
+    out = full_fast((ls, rp), 4, np.int8)
+    # assignment casts uint8->int8 during the copy (values are 0..4): no
+    # intermediate .astype allocation, writes land in warm calloc pages
+    out[: min(ls, seg_codes.shape[1]), :R] = seg_codes.T[:ls]
     return out
 
 

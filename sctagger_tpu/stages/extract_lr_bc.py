@@ -119,12 +119,20 @@ def _run(args, stats) -> None:
         stats.count(f"dist_{'NA' if v == -1 else int(v)}", int(c))
     outfile = open_out(args.outfile, force_gzip=True)
     print(f"Writng to {outfile}", file=sys.stderr)
-    for i, (rname, seq) in enumerate(zip(rnames, seqs)):
+    # seq[s:e or None] without materializing full read strings (SeqBuffer);
+    # the invalid-row segment seq[-1:-1] is always ''.
+    substr = getattr(seqs, "substr", None) or (
+        lambda i, a, b: seqs[i][a:b]
+    )
+    # zip semantics of the reference: stop at the shorter list if a trailing
+    # FASTQ record is truncated (name without sequence line)
+    for i, rname in enumerate(rnames[: len(seqs)]):
         if valid[i]:
             si, ei = int(s[i]), int(e[i])
-            outfile.write(f"{rname}\t{dist[i]}\t{loc[i]}\t{seq[si:ei or None]}\n")
+            seg = substr(i, si, (ei or None))
+            outfile.write(f"{rname}\t{dist[i]}\t{loc[i]}\t{seg}\n")
         else:
-            outfile.write(f"{rname}\t-1\tNA\t{seq[-1:-1]}\n")
+            outfile.write(f"{rname}\t-1\tNA\t\n")
     if outfile is not sys.stdout:
         outfile.close()
 

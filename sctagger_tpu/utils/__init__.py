@@ -1,1 +1,1 @@
-from .misc import cdiv, round_up, pick_bucket, batch_iter  # noqa: F401
+from .misc import cdiv, round_up, pick_bucket, batch_iter, full_fast  # noqa: F401

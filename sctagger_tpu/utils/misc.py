@@ -4,6 +4,22 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import numpy as np
+
+
+def full_fast(shape, value, dtype) -> np.ndarray:
+    """np.full without the first-touch page-fault cliff.
+
+    On this host, writing into freshly malloc-backed pages (np.empty/np.full)
+    faults at ~500us/page — a brand-new 16 MB np.full costs ~0.5 s — while
+    calloc-backed pages (np.zeros) fault fast (CLAUDE.md "page-fault cliff").
+    zeros+fill is ~2 ms for the same array, every time.
+    """
+    out = np.zeros(shape, dtype)
+    if value:
+        out.fill(value)
+    return out
+
 
 def cdiv(a: int, b: int) -> int:
     """Ceiling division."""
