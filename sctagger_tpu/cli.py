@@ -100,6 +100,22 @@ def parse_args(argv=None):
     p_mt.add_argument("-o", "--outfile", type=str, default=None,
                       help="Path to output file. Default: stdout")
 
+    # Additive multi-host surface (not in the reference): shard the input
+    # records over N cooperating hosts; host 0 merges byte-identical output.
+    for sub in (p_lr, p_fl, p_mt):
+        g = sub.add_argument_group("multi-host (additive)")
+        g.add_argument("--n-hosts", type=int, default=1,
+                       help="Total cooperating hosts. Default: 1")
+        g.add_argument("--host-id", type=int, default=0,
+                       help="This host's id in [0, n-hosts). Default: 0")
+        g.add_argument("--sync-dir", type=str, default=None,
+                       help="Shared dir for cross-host exchange. Default: "
+                            "derived from the outfile + a job content key")
+        g.add_argument("--coordinator", type=str, default=None,
+                       help="jax.distributed coordinator address host:port; "
+                            "when set, reductions ride JAX collectives "
+                            "instead of the shared filesystem")
+
     # Additive surface (not in the reference): the Snakefile-equivalent runner.
     p_pl = subparsers.add_parser("pipeline")
     p_pl.add_argument("-c", "--config", type=str, default="config.yaml",
@@ -129,6 +145,11 @@ def parse_args(argv=None):
         assert args.mem > 0
         assert args.barcode_length > 0
         assert args.barcode_length > args.max_error >= 0
+
+    if getattr(args, "n_hosts", 1) != 1:
+        assert args.n_hosts > 0, args.n_hosts
+        assert 0 <= args.host_id < args.n_hosts, (args.host_id, args.n_hosts)
+        assert args.outfile is not None, "--n-hosts > 1 requires -o"
 
     return args
 
@@ -169,6 +190,16 @@ def main(argv=None):
     configure_jax()  # persistent compilation cache (axon compiles are slow)
     args = parse_args(argv)
     print(args)
+
+    if getattr(args, "coordinator", None) and getattr(args, "n_hosts", 1) > 1:
+        from .parallel.multihost import HostGroup  # noqa: F401 (import check)
+        from .parallel import init_distributed
+
+        init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.n_hosts,
+            process_id=args.host_id,
+        )
 
     if args.subcommand == "extract_lr_bc":
         from .stages import extract_lr_bc

@@ -77,7 +77,10 @@ def encode_seqs(
     # Join into one byte buffer; single vectorized table lookup.
     joined = "".join(seqs).encode("latin-1")
     flat = table[np.frombuffer(joined, dtype=np.uint8)] if joined else np.empty(0, np.uint8)
-    out = np.full((n, pad_to), CODE_PAD, dtype=dtype)
+    # zeros+fill, not np.full: malloc-backed first-touch pages are ~500us/
+    # page on this host (CLAUDE.md page-fault cliff)
+    out = np.zeros((n, pad_to), dtype=dtype)
+    out.fill(CODE_PAD)
     if n:
         # Row-major boolean mask selects exactly len(seqs[i]) cells per row, in
         # the same order as the joined flat buffer — one vectorized scatter.

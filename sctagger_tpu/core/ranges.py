@@ -25,13 +25,28 @@ import numpy as np
 
 def find_peak_ranges(data: np.ndarray, quiet: bool = False) -> list[tuple[int, int]]:
     """Iterative histogram peak extraction (reference get_ranges semantics)."""
-    ranges: list[tuple[int, int]] = []
     data = np.asarray(data)
     if data.size == 0:
-        return ranges
+        return []
     min_l = int(data.min())
     max_l = int(data.max())
     F = np.bincount(data - min_l, minlength=max_l - min_l + 1).astype(np.float64)
+    return find_peak_ranges_hist(F, min_l, quiet=quiet)
+
+
+def find_peak_ranges_hist(
+    F: np.ndarray, min_l: int, quiet: bool = False
+) -> list[tuple[int, int]]:
+    """Peak extraction over a prebuilt location histogram.
+
+    ``F[i]`` = count of locations at value ``min_l + i``. This is the entry
+    point for multi-host runs, where per-host bincounts are psum-merged
+    before detection so every host derives identical ranges (the reference's
+    global two-pass barrier, SURVEY.md §3.1)."""
+    ranges: list[tuple[int, int]] = []
+    F = np.asarray(F, dtype=np.float64).copy()
+    if F.size == 0 or F.sum() == 0:
+        return ranges
     T = F.sum()
     n = len(F)
     while True:

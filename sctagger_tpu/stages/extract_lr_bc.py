@@ -15,8 +15,14 @@ import sys
 
 import numpy as np
 
-from ..core.ranges import RangeMembership, detect_ranges, filter_alignments
+from ..core.ranges import (
+    RangeMembership,
+    detect_ranges,
+    filter_alignments,
+    find_peak_ranges_hist,
+)
 from ..io.fastq import read_fastqs
+from ..io.sharding import read_fastq_shard
 from ..io.tsv import open_out
 from ..models.adapter import AdapterScanResult, scan_adapters
 from ..observability import stage_scope
@@ -29,9 +35,58 @@ def run(args) -> None:
         _run(args, stats)
 
 
+def _detect_ranges_dist(group, locs_f: np.ndarray, locs_r: np.ndarray):
+    """Cross-host range detection: per-strand location histograms are
+    psum-merged so every host runs identical peak extraction (the global
+    barrier between stage-1's two passes, SURVEY.md §3.1)."""
+    quiet = group.host_id != 0
+    out = []
+    imax = np.iinfo(np.int64).max
+    imin = np.iinfo(np.int64).min
+    for locs, label in ((locs_f, "+"), (locs_r, "-")):
+        locs = np.asarray(locs, dtype=np.int64)
+        lmin = int(locs.min()) if locs.size else imax
+        lmax = int(locs.max()) if locs.size else imin
+        gmin = int(group.allreduce(np.array([lmin], np.int64), "min")[0])
+        gmax = int(group.allreduce(np.array([lmax], np.int64), "max")[0])
+        if gmin > gmax:  # no qualifying locations on any host
+            ranges = []
+        else:
+            F = np.bincount(locs - gmin, minlength=gmax - gmin + 1)
+            F = group.allreduce(F.astype(np.int64), "sum")
+            ranges = find_peak_ranges_hist(
+                F.astype(np.float64), gmin, quiet=quiet
+            )
+        if not quiet:
+            print(
+                f"Found these ranges on {label} strand:\t{ranges}",
+                file=sys.stderr,
+            )
+        out.append(ranges)
+    return out
+
+
 def _run(args, stats) -> None:
-    with stats.timer("read_fastq"):
-        rnames, seqs = read_fastqs(args.reads, args.gzipped)
+    n_hosts = getattr(args, "n_hosts", 1) or 1
+    multi = n_hosts > 1
+    group = None
+    if multi:
+        from ..parallel.multihost import make_host_group
+
+        assert args.plotfile is None, "plotting is single-host only"
+        group = make_host_group(
+            args,
+            "extract_lr_bc",
+            list(args.reads),
+            {"sa": args.short_read_adapter, "nb": args.num_bp_after},
+        )
+        with stats.timer("read_fastq"):
+            _, rnames, seqs = read_fastq_shard(
+                args.reads, args.host_id, n_hosts, args.gzipped
+            )
+    else:
+        with stats.timer("read_fastq"):
+            rnames, seqs = read_fastqs(args.reads, args.gzipped)
     print(
         f"Aligning {args.short_read_adapter} to {len(seqs)} reads",
         file=sys.stderr,
@@ -46,6 +101,12 @@ def _run(args, stats) -> None:
         ),
     )
     with stats.timer("adapter_scan"):
+        if store.enabled and multi:
+            # shard-dependent batch contents would collide on one job key
+            print(
+                "checkpointing disabled for multi-host runs", file=sys.stderr
+            )
+            store.enabled = False
         if store.enabled:
             # batch-granular scan cache: per-read scan results are position-
             # independent, so batches resume independently; the global parts
@@ -86,18 +147,24 @@ def _run(args, stats) -> None:
 
     preset = args.ranges
     if len(preset[0]) + len(preset[1]) == 0:
-        print(
-            "No ranges for SR adapters have been preset. "
-            "Detecting directly from data...",
-            file=sys.stderr,
-        )
+        if not multi or args.host_id == 0:
+            print(
+                "No ranges for SR adapters have been preset. "
+                "Detecting directly from data...",
+                file=sys.stderr,
+            )
         read_of = np.repeat(np.arange(len(seqs)), scan.loc_counts)
         in_window = (scan.dists >= 0) & (scan.dists <= 5)
         sel = in_window[read_of]
         is_fwd = (scan.strands == 0)[read_of]
-        ranges = detect_ranges(
-            scan.flat_locs[sel & is_fwd], scan.flat_locs[sel & ~is_fwd]
-        )
+        if multi:
+            ranges = _detect_ranges_dist(
+                group, scan.flat_locs[sel & is_fwd], scan.flat_locs[sel & ~is_fwd]
+            )
+        else:
+            ranges = detect_ranges(
+                scan.flat_locs[sel & is_fwd], scan.flat_locs[sel & ~is_fwd]
+            )
         memberships = [RangeMembership(r, include_end=False) for r in ranges]
     else:
         memberships = [RangeMembership(r, include_end=True) for r in preset]
@@ -117,24 +184,35 @@ def _run(args, stats) -> None:
     vals, cnts = np.unique(dist, return_counts=True)
     for v, c in zip(vals, cnts):
         stats.count(f"dist_{'NA' if v == -1 else int(v)}", int(c))
-    outfile = open_out(args.outfile, force_gzip=True)
-    print(f"Writng to {outfile}", file=sys.stderr)
     # seq[s:e or None] without materializing full read strings (SeqBuffer);
     # the invalid-row segment seq[-1:-1] is always ''.
     substr = getattr(seqs, "substr", None) or (
         lambda i, a, b: seqs[i][a:b]
     )
-    # zip semantics of the reference: stop at the shorter list if a trailing
-    # FASTQ record is truncated (name without sequence line)
-    for i, rname in enumerate(rnames[: len(seqs)]):
-        if valid[i]:
-            si, ei = int(s[i]), int(e[i])
-            seg = substr(i, si, (ei or None))
-            outfile.write(f"{rname}\t{dist[i]}\t{loc[i]}\t{seg}\n")
-        else:
-            outfile.write(f"{rname}\t-1\tNA\t\n")
-    if outfile is not sys.stdout:
-        outfile.close()
+
+    def _rows():
+        # zip semantics of the reference: stop at the shorter list if a
+        # trailing FASTQ record is truncated (name without sequence line)
+        for i, rname in enumerate(rnames[: len(seqs)]):
+            if valid[i]:
+                si, ei = int(s[i]), int(e[i])
+                yield f"{rname}\t{dist[i]}\t{loc[i]}\t{substr(i, si, ei or None)}\n"
+            else:
+                yield f"{rname}\t-1\tNA\t\n"
+
+    if multi:
+        group.write_part_and_merge(
+            args.outfile,
+            "".join(_rows()),
+            lambda p: open_out(p, force_gzip=True),
+        )
+    else:
+        outfile = open_out(args.outfile, force_gzip=True)
+        print(f"Writng to {outfile}", file=sys.stderr)
+        for row in _rows():
+            outfile.write(row)
+        if outfile is not sys.stdout:
+            outfile.close()
 
     if args.plotfile is not None:
         from ..plots import plot_extract_lr_bc

@@ -22,6 +22,9 @@ from ..ops.topk_count import count_and_rank
 
 
 def run(args) -> None:
+    n_hosts = getattr(args, "n_hosts", 1) or 1
+    multi = n_hosts > 1
+
     infile = open_maybe_gz(args.barcode_whitelist)
     print(f"Reading whiltelist barcodes from: {args.barcode_whitelist}")
     barcodes = [l[:-1] for l in infile]
@@ -31,12 +34,20 @@ def run(args) -> None:
 
     print(f"\n=====\nMatching exact barcodes on long-reads: {args.input}")
     segments: list[str] = []
-    with open_maybe_gz(args.input) as f:
-        for l in f:
-            _, _, p, seg = l.rstrip("\n").split("\t")
-            if p == "NA":
-                continue
-            segments.append(seg)
+    if multi:
+        from ..io.sharding import read_tsv_shard
+
+        _, lines = read_tsv_shard(args.input, args.host_id, n_hosts)
+        rows = (l.split("\t") for l in lines)
+    else:
+        f = open_maybe_gz(args.input)
+        rows = (l.rstrip("\n").split("\t") for l in f)
+    for _, _, p, seg in rows:
+        if p == "NA":
+            continue
+        segments.append(seg)
+    if not multi:
+        f.close()
 
     try:
         sorted_keys, values = build_key_table(barcodes, barcodes_rc)
@@ -51,10 +62,15 @@ def run(args) -> None:
 
     matched = counts_per_seg == 1
     vals = np.abs(single_val[matched]).astype(np.uint32)
-    # device count + rank by (count desc, first-increment asc) — identical to
-    # the reference's insertion-ordered Counter + stable reverse sort
-    # (scTagger.py:826-828)
-    keys_ranked, counts_ranked = count_and_rank(vals)
+    if multi:
+        keys_ranked, counts_ranked = _rank_multi(args, barcodes, vals, n_hosts)
+        if args.host_id != 0:
+            return  # host 0 writes the single small output file
+    else:
+        # device count + rank by (count desc, first-increment asc) — identical
+        # to the reference's insertion-ordered Counter + stable reverse sort
+        # (scTagger.py:826-828)
+        keys_ranked, counts_ranked = count_and_rank(vals)
     print(f"\n=====\nFound {len(keys_ranked):,} unique barcodes on long-reads")
     sorted_bc = [
         (int(k), int(c)) for k, c in zip(keys_ranked, counts_ranked)
@@ -67,3 +83,34 @@ def run(args) -> None:
         outfile.write(f"{barcodes[bc]}\t{c}\n")
     if outfile is not sys.stdout:
         outfile.close()
+
+
+def _rank_multi(args, barcodes, vals: np.ndarray, n_hosts: int):
+    """Cross-host count merge preserving the reference's tie order.
+
+    The reference ranks by (count desc, first-occurrence asc) over the global
+    single-stream row order. Shards are contiguous row ranges, so a matched
+    read's global insertion index = (# matched on earlier hosts) + local
+    index; counts psum-merge and first-occurrence indices pmin-merge."""
+    from ..parallel.multihost import make_host_group
+    from ..utils import full_fast
+
+    group = make_host_group(
+        args,
+        "extract_sr_bc_from_lr",
+        [args.input, args.barcode_whitelist],
+        {"t": args.thresh, "s": args.step_size, "m": args.max_barcode_cnt},
+    )
+    per_host = group.allgather_scalar(vals.size)
+    my_off = int(per_host[: args.host_id].sum())
+    B = len(barcodes)
+    cnt = np.bincount(vals, minlength=B).astype(np.int64)
+    first = full_fast(B, np.iinfo(np.int64).max, np.int64)
+    uniq, fidx = np.unique(vals, return_index=True)
+    first[uniq] = my_off + fidx
+    cnt = group.allreduce(cnt, "sum")
+    first = group.allreduce(first, "min")
+    nz = np.flatnonzero(cnt > 0)
+    order = np.lexsort((first[nz], -cnt[nz]))
+    ranked = nz[order]
+    return ranked.astype(np.uint32), cnt[ranked]

@@ -61,6 +61,11 @@ def _run(args, stats) -> None:
     barcode_lens = {len(b) for b in barcodes}
     assert barcode_lens == {args.barcode_length}, barcode_lens
 
+    n_hosts = getattr(args, "n_hosts", 1) or 1
+    if n_hosts > 1:
+        _run_multi(args, stats, barcodes, n_hosts)
+        return
+
     names, _, _, segs = read_lr_segments_tsv(args.long_read_segments)
     print(f"There are {len(names):,} LRs", file=sys.stderr)
 
@@ -110,3 +115,43 @@ def _run(args, stats) -> None:
     stats.count("matched", n_matched)
     if outfile is not sys.stdout:
         outfile.close()
+
+
+def _run_multi(args, stats, barcodes, n_hosts: int) -> None:
+    """Sharded flagship: contiguous LR row ranges per host, replicated
+    whitelist, host-0 part merge. Shards are contiguous global-rid ranges and
+    rows render in ascending rid within a shard, so concatenation reproduces
+    the single-stream sorted-by-rid output byte for byte (scTagger.py:777)."""
+    from ..io.sharding import read_tsv_shard
+    from ..parallel.multihost import make_host_group
+
+    group = make_host_group(
+        args,
+        "match_trie",
+        [args.long_read_segments, args.short_read_barcodes],
+        {"mr": args.max_error, "bl": args.barcode_length},
+    )
+    _, lines = read_tsv_shard(args.long_read_segments, args.host_id, n_hosts)
+    names, segs = [], []
+    for line in lines:
+        c = line.split("\t")
+        names.append(c[0])
+        segs.append(c[3])
+    print(
+        f"[host {args.host_id}/{n_hosts}] {len(names):,} LRs in shard",
+        file=sys.stderr,
+    )
+    stats.count("barcodes", len(barcodes))
+    stats.count("reads", len(names))
+    with stats.timer("match"):
+        result = match_segments(
+            segments=segs,
+            barcodes=barcodes,
+            max_error=args.max_error,
+            progress=True,
+        )
+        text = _render_rows(result, names, segs, barcodes)
+    stats.count("matched", int(result.rids.size))
+    group.write_part_and_merge(
+        args.outfile, text, lambda p: open_out(p, force_gzip=False)
+    )

@@ -53,6 +53,24 @@ def worker(pid: int) -> None:
     assert (got == 12).all(), got
     print(f"[proc {pid}] multiprocess psum OK: {got[0]}", flush=True)
 
+    # HostGroup jax transport (the stage drivers' cross-host reductions)
+    from sctagger_tpu.parallel.multihost import HostGroup
+
+    g = HostGroup(pid, 2, sync_dir="/nonexistent-unused")
+    assert g.transport == "jax", g.transport
+    a = np.arange(6, dtype=np.int64) + pid * 100
+    s = g.allreduce(a, "sum")
+    mn = g.allreduce(a, "min")
+    mx = g.allreduce(a, "max")
+    base = np.arange(6, dtype=np.int64)
+    assert np.array_equal(s, base * 2 + 100), s
+    assert np.array_equal(mn, base), mn
+    assert np.array_equal(mx, base + 100), mx
+    gat = g.allgather_scalar(pid + 5)
+    assert np.array_equal(gat, [5, 6]), gat
+    g.barrier()
+    print(f"[proc {pid}] HostGroup jax transport OK", flush=True)
+
 
 def main() -> None:
     if "--worker" in sys.argv:
