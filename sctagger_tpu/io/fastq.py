@@ -69,6 +69,22 @@ class SeqBuffer:
             )
         return NotImplemented
 
+    def take(self, idx) -> "SeqBuffer":
+        """Gather an arbitrary row subset into a compact new SeqBuffer."""
+        idx = np.asarray(idx, dtype=np.int64)
+        lens = self.lengths[idx] if idx.size else np.empty(0, np.int64)
+        new_offs = np.zeros(idx.size + 1, np.int64)
+        np.cumsum(lens, out=new_offs[1:])
+        total = int(new_offs[-1])
+        new_buf = np.zeros(total, np.uint8)
+        if total:
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                new_offs[:-1], lens
+            )
+            src = np.repeat(self.offs[idx], lens) + within
+            new_buf[:] = self.buf[src]
+        return SeqBuffer(new_buf, new_offs)
+
     def substr(self, i: int, s, e) -> str:
         """``seqs[i][s:e]`` with Python slice semantics, without building the
         full read string (s/e may be negative or None)."""

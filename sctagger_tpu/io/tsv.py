@@ -35,13 +35,25 @@ def open_out(path: str | None, force_gzip: bool):
 
 
 def read_lr_segments_tsv(path: str):
-    """Stage-1 output -> (names, dists, locs, segments) as parallel lists.
+    """Stage-1 output -> (names, dists, locs, segments) parallel columns.
 
     All columns as raw strings; callers interpret. Mirrors both consumers:
     match_trie keeps cols 0 and 3 of every row (scTagger.py:602-628);
     extract_sr_bc_from_lr reads cols 2 and 3 and skips loc=='NA'
     (scTagger.py:812-826).
+
+    Uses the native C++ parser when available: names/dists/locs come back as
+    list[str] (one C-level split each), segments as a SeqBuffer (flat bytes +
+    offsets — no per-row string materialization for the match hot path).
+    Falls back to the Python loop (also the test oracle) on any failure.
     """
+    try:
+        return _read_lr_segments_native(path)
+    except Exception:
+        return read_lr_segments_tsv_py(path)
+
+
+def read_lr_segments_tsv_py(path: str):
     names, dists, locs, segs = [], [], [], []
     with open_maybe_gz(path) as f:
         for line in f:
@@ -51,6 +63,56 @@ def read_lr_segments_tsv(path: str):
             locs.append(c[2])
             segs.append(c[3])
     return names, dists, locs, segs
+
+
+def _read_lr_segments_native(path: str):
+    import ctypes
+
+    import numpy as np
+
+    from ..native import build as native_build
+    from .fastq import SeqBuffer
+
+    lib = native_build.load()
+    c0 = ctypes.c_char_p()
+    c1 = ctypes.c_char_p()
+    c2 = ctypes.c_char_p()
+    l0 = ctypes.c_int64()
+    l1 = ctypes.c_int64()
+    l2 = ctypes.c_int64()
+    seg_buf = ctypes.c_char_p()
+    seg_offs = ctypes.POINTER(ctypes.c_int64)()
+    n_rows = ctypes.c_int64()
+    err = ctypes.c_char_p()
+    rc = lib.sctag_read_lr_tsv(
+        path.encode(),
+        ctypes.byref(c0), ctypes.byref(l0),
+        ctypes.byref(c1), ctypes.byref(l1),
+        ctypes.byref(c2), ctypes.byref(l2),
+        ctypes.byref(seg_buf), ctypes.byref(seg_offs), ctypes.byref(n_rows),
+        ctypes.byref(err),
+    )
+    if rc != 0:
+        msg = err.value.decode() if err.value else "unknown error"
+        lib.sctag_free(err)
+        raise OSError(f"{path}: {msg}")
+    try:
+        def col(buf, ln):
+            b = ctypes.string_at(buf, ln.value)
+            return b.decode("latin-1").split("\n")[:-1] if b else []
+
+        names, dists, locs = col(c0, l0), col(c1, l1), col(c2, l2)
+        n = n_rows.value
+        sz = int(seg_offs[n])
+        # PyBytes-backed read-only views (see CLAUDE.md page-fault cliff)
+        buf = np.frombuffer(ctypes.string_at(seg_buf, sz), dtype=np.uint8)
+        offs = np.frombuffer(
+            ctypes.string_at(seg_offs, 8 * (n + 1)), dtype=np.int64
+        )
+    finally:
+        for p in (c0, c1, c2, seg_buf, seg_offs):
+            lib.sctag_free(p)
+    return names, dists, locs, SeqBuffer(buf, offs)
 
 
 def read_sr_barcodes_tsv(path: str) -> list[str]:

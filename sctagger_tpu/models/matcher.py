@@ -31,7 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.packing import CODE_PAD, LENIENT_TABLE, encode_seqs, rev_compl
+from ..core.packing import (
+    CODE_PAD,
+    LENIENT_TABLE,
+    encode_rows,
+    encode_seqs,
+    rev_compl,
+    seq_lengths,
+)
 from ..ops.myers import MAX_PATTERN_LEN, build_peq_multi, match_block_min
 from ..ops.match_pallas import (
     DEF_BP,
@@ -146,14 +153,15 @@ def match_segments(
     peq_pm = prep_peq_cols(peq, bp=DEF_BP) if on_tpu else None
 
     n = len(segments)
-    lengths = np.fromiter((len(s) for s in segments), count=n, dtype=np.int32)
+    lengths = seq_lengths(segments)
     buckets = _seg_buckets(lengths)
 
     min_dist = full_fast(n, bl, np.int32)
     order = np.argsort(lengths, kind="stable")
 
-    # ---- encode once, bucketed by length ----------------------------------
-    chunks: list[tuple[np.ndarray, np.ndarray, int]] = []  # (sub, codes, ls)
+    # ---- chunk layout (index ranges only; encoding happens in the dispatch
+    # loop so the host encodes chunk i+1 while the device crunches chunk i) --
+    chunk_specs: list[tuple[np.ndarray, int]] = []  # (sub, ls)
     lo = 0
     for ls in buckets:
         hi = int(np.searchsorted(lengths[order], ls, side="right"))
@@ -166,15 +174,16 @@ def match_segments(
                 f"[match] bucket<= {ls}: {idx.size} segments", file=sys.stderr
             )
         for s, e in batch_iter(idx.size, PASS1_CHUNK):
-            sub = idx[s:e]
-            seg_codes, _ = encode_seqs(
-                [segments[i] for i in sub], pad_to=ls, table=LENIENT_TABLE
-            )
-            chunks.append((sub, seg_codes, ls))
+            chunk_specs.append((idx[s:e], ls))
+
+    def _encode(sub, ls) -> np.ndarray:
+        codes, _ = encode_rows(segments, sub, pad_to=ls, table=LENIENT_TABLE)
+        return codes
 
     from ..ops.match_pallas import TIES_K, match_full_tpu
 
-    tie_by_chunk: list[np.ndarray | None] = [None] * len(chunks)
+    chunks: list[tuple[np.ndarray, np.ndarray, int]] = []  # (sub, codes, ls)
+    tie_by_chunk: list[np.ndarray | None] = [None] * len(chunk_specs)
 
     # ---- single device sweep: min dist + running-min tie collection -------
     if on_tpu:
@@ -189,8 +198,11 @@ def match_segments(
                 min_dist[sub] = out[0]
                 tie_by_chunk[ci] = out[1:]
 
-        for ci, (sub, seg_codes, ls) in enumerate(chunks):
+        for ci, (sub, ls) in enumerate(chunk_specs):
+            # async dispatch overlaps this encode with in-flight device work;
             # one compiled shape per bucket: always pad to the full chunk
+            seg_codes = _encode(sub, ls)
+            chunks.append((sub, seg_codes, ls))
             seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=PASS1_CHUNK)
             pending.append(
                 (ci, match_full_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl))
@@ -202,7 +214,9 @@ def match_segments(
         # host CPU device so a TPU machine never pays per-shape remote
         # compiles for this path (see CLAUDE.md compile-cost notes)
         with _cpu_ctx():
-            for sub, seg_codes, ls in chunks:
+            for sub, ls in chunk_specs:
+                seg_codes = _encode(sub, ls)
+                chunks.append((sub, seg_codes, ls))
                 seg_T = seg_codes.astype(np.int32).T
                 min_dist[sub] = _min_dist_jnp_chunked(seg_T, peq, bl)[: sub.size]
 

@@ -11,7 +11,11 @@ import pathlib
 import subprocess
 
 _DIR = pathlib.Path(__file__).resolve().parent
-_SRCS = [_DIR / "bam_reader.cpp", _DIR / "fastq_reader.cpp"]
+_SRCS = [
+    _DIR / "bam_reader.cpp",
+    _DIR / "fastq_reader.cpp",
+    _DIR / "tsv_reader.cpp",
+]
 _LIB = _DIR / "libsctag_io.so"
 
 
@@ -62,6 +66,17 @@ def load():
         ctypes.c_ubyte,                     # pad_code
         ctypes.c_int64,                     # pad_to
         ctypes.c_void_p,                    # out
+    ]
+    lib.sctag_read_lr_tsv.restype = ctypes.c_int
+    lib.sctag_read_lr_tsv.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_char_p),
     ]
     lib.sctag_free.restype = None
     lib.sctag_free.argtypes = [ctypes.c_void_p]

@@ -21,7 +21,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.packing import STRICT_TABLE, encode_seqs, pack_kmers_from_codes
+from ..core.packing import (
+    CODE_PAD,
+    STRICT_TABLE,
+    encode_rows,
+    encode_seqs,
+    pack_kmers_from_codes,
+    seq_lengths,
+)
+from ..utils import full_fast
 
 
 def build_key_table(words_fwd: list[str], words_rc: list[str]):
@@ -78,12 +86,16 @@ def probe_segments(
     vv = jnp.asarray(values.astype(np.int32))
     # one padded length for every chunk: a single compiled probe shape
     # (each distinct shape costs a full remote compile on the axon backend)
-    L = max(max((len(x) for x in segments), default=k), k)
+    L = max(int(seq_lengths(segments).max(initial=0)) if n else k, k)
     for s in range(0, n, chunk):
-        subs = segments[s : s + chunk]
-        if len(subs) < chunk and s > 0:
-            subs = subs + [""] * (chunk - len(subs))  # pad final chunk
-        codes, lens = encode_seqs(subs, pad_to=L, table=STRICT_TABLE)
+        idx = np.arange(s, min(s + chunk, n), dtype=np.int64)
+        codes, lens = encode_rows(segments, idx, pad_to=L, table=STRICT_TABLE)
+        pad = chunk - idx.size
+        if pad and s > 0:  # pad final chunk to the single compiled shape
+            codes = np.concatenate(
+                [codes, full_fast((pad, L), CODE_PAD, codes.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
         qkeys, qvalid = pack_kmers_from_codes(codes, lens, k)
         if qkeys.size == 0:
             continue

@@ -33,21 +33,23 @@ def run(args) -> None:
     barcodes_rc = [rev_compl(b) for b in barcodes]
 
     print(f"\n=====\nMatching exact barcodes on long-reads: {args.input}")
-    segments: list[str] = []
     if multi:
         from ..io.sharding import read_tsv_shard
 
         _, lines = read_tsv_shard(args.input, args.host_id, n_hosts)
-        rows = (l.split("\t") for l in lines)
+        segments: list[str] = []
+        for l in lines:
+            _, _, p, seg = l.split("\t")  # exact 4-field unpack (reference)
+            if p == "NA":
+                continue
+            segments.append(seg)
     else:
-        f = open_maybe_gz(args.input)
-        rows = (l.rstrip("\n").split("\t") for l in f)
-    for _, _, p, seg in rows:
-        if p == "NA":
-            continue
-        segments.append(seg)
-    if not multi:
-        f.close()
+        from ..io.tsv import read_lr_segments_tsv
+
+        _, _, locs, segs = read_lr_segments_tsv(args.input)
+        keep = [i for i, p in enumerate(locs) if p != "NA"]
+        take = getattr(segs, "take", None)
+        segments = take(keep) if take else [segs[i] for i in keep]
 
     try:
         sorted_keys, values = build_key_table(barcodes, barcodes_rc)
