@@ -49,10 +49,36 @@ struct GzReader {
     bool skip(size_t n) {
         return gzseek(f, static_cast<z_off_t>(n), SEEK_CUR) >= 0;
     }
-    ~GzReader() {
-        if (f) gzclose(f);
+    // zlib-level diagnostic for the last failure (e.g. "incorrect data
+    // check" = CRC mismatch; gzread validates each member's CRC32/ISIZE)
+    std::string zerr() const {
+        int code = Z_OK;
+        const char* msg = f ? gzerror(f, &code) : nullptr;
+        if (code == Z_OK || code == Z_STREAM_END) return "";
+        if (code == Z_ERRNO) return " (I/O error)";
+        return msg && *msg ? std::string(" (zlib: ") + msg + ")"
+                           : " (zlib error)";
     }
 };
+
+// The 28-byte BGZF EOF marker every intact BGZF file ends with (SAM spec
+// §4.1.2). Its absence means the file was truncated mid-stream — htslib and
+// pysam warn the same way; parsing proceeds (the reference behaves likewise).
+const unsigned char kBgzfEof[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
+bool has_bgzf_eof(const char* path) {
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) return true;  // unreadable: let the main path report it
+    unsigned char tail[28];
+    bool ok = std::fseek(fp, -28, SEEK_END) == 0 &&
+              std::fread(tail, 1, 28, fp) == 28 &&
+              std::memcmp(tail, kBgzfEof, 28) == 0;
+    std::fclose(fp);
+    return ok;
+}
 
 struct Result {
     std::string barcodes;        // newline-joined, first-appearance order
@@ -62,6 +88,11 @@ struct Result {
 };
 
 int parse_bam(const char* path, Result& out) {
+    if (!has_bgzf_eof(path)) {
+        std::fprintf(stderr,
+                     "[sctag_io] warning: no BGZF EOF marker in %s; "
+                     "the file may be truncated\n", path);
+    }
     GzReader gz;
     if (!gz.ok(path)) {
         out.error = "cannot open file";
@@ -90,14 +121,21 @@ int parse_bam(const char* path, Result& out) {
 
     for (;;) {
         int32_t block_size;
-        if (!gz.read(&block_size, 4)) break;  // clean EOF
+        if (!gz.read(&block_size, 4)) {
+            std::string z = gz.zerr();
+            if (!z.empty()) {  // e.g. CRC mismatch mid-stream, not clean EOF
+                out.error = "corrupt BGZF stream" + z;
+                return 1;
+            }
+            break;  // clean EOF
+        }
         if (block_size < 32) {
             out.error = "corrupt record (block_size too small)";
             return 1;
         }
         rec.resize(static_cast<size_t>(block_size));
         if (!gz.read(rec.data(), rec.size())) {
-            out.error = "truncated record";
+            out.error = "truncated record" + gz.zerr();
             return 1;
         }
         const uint8_t* p = reinterpret_cast<const uint8_t*>(rec.data());

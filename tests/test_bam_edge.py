@@ -69,3 +69,43 @@ def test_not_a_bam(tmp_path):
     p.write_bytes(b"this is not a bam file")
     with pytest.raises(RuntimeError):
         extract_cb_counts(str(p))
+
+
+def test_crc_corruption_detected(tmp_path):
+    """A flipped payload byte must surface as a zlib data-check error, not
+    silently parse (gzread validates each BGZF member's CRC32)."""
+    path = str(tmp_path / "crc.bam")
+    write_bam(
+        path,
+        ["chr1"],
+        {"chr1": [
+            {"flag": 0, "name": f"q{i}", "tags": [["CB", "ACGTACGT-1"]]}
+            for i in range(50)
+        ]},
+    )
+    raw = bytearray(open(path, "rb").read())
+    # flip one bit inside the first member's DEFLATE payload (after the
+    # 18-byte BGZF header, before the trailer)
+    raw[40] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(RuntimeError):
+        extract_cb_counts(path)
+
+
+def test_missing_eof_marker_warns_but_parses(tmp_path, capfd):
+    """Truncating the BGZF EOF block warns (htslib/pysam behavior) while the
+    records still parse."""
+    from bamgen import BGZF_EOF
+
+    path = str(tmp_path / "noeof.bam")
+    write_bam(
+        path,
+        ["chr1"],
+        {"chr1": [{"flag": 0, "name": "a", "tags": [["CB", "GGGG-1"]]}]},
+    )
+    raw = open(path, "rb").read()
+    assert raw.endswith(BGZF_EOF)
+    open(path, "wb").write(raw[: -len(BGZF_EOF)])
+    barcodes, counts, total = extract_cb_counts(path)
+    assert barcodes == ["GGGG"] and total == 1
+    assert "BGZF EOF marker" in capfd.readouterr().err
