@@ -150,7 +150,7 @@ def read_fastqs_py(
 
 
 def _read_fastq_native(path: str):
-    """One file via the C++ parser -> (names list, seq bytes, offsets)."""
+    """One file via the C++ parser -> (names, seq bytes, offsets, n_lines)."""
     import ctypes
 
     from ..native import build as native_build
@@ -162,6 +162,7 @@ def _read_fastq_native(path: str):
     seq_buf = ctypes.c_char_p()
     seq_offs = ctypes.POINTER(ctypes.c_int64)()
     n_seqs = ctypes.c_int64()
+    n_lines = ctypes.c_int64()
     err = ctypes.c_char_p()
     rc = lib.sctag_read_fastq(
         path.encode(),
@@ -171,6 +172,7 @@ def _read_fastq_native(path: str):
         ctypes.byref(seq_buf),
         ctypes.byref(seq_offs),
         ctypes.byref(n_seqs),
+        ctypes.byref(n_lines),
         ctypes.byref(err),
     )
     if rc != 0:
@@ -196,7 +198,7 @@ def _read_fastq_native(path: str):
         lib.sctag_free(names_buf)
         lib.sctag_free(seq_buf)
         lib.sctag_free(seq_offs)
-    return names, buf, offs
+    return names, buf, offs, n_lines.value
 
 
 def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = False):
@@ -219,7 +221,7 @@ def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = Fals
     for fastq in fastqs:
         if not quiet:
             print(f"Reading {fastq}", file=sys.stderr)
-        names, buf, offs = _read_fastq_native(fastq)
+        names, buf, offs, _ = _read_fastq_native(fastq)
         rnames.extend(names)
         bufs.append(buf)
         offs_parts.append(offs)

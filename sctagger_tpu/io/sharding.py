@@ -60,8 +60,17 @@ def read_fastq_shard(
 ):
     """Parse only this host's records. Returns (global_start_rid, names, seqs).
 
-    Name/sequence extraction matches io.fastq.read_fastqs exactly.
+    Name/sequence extraction matches io.fastq.read_fastqs exactly; complete
+    records only (lines//4 per file, the reference's modulo-4 parse). The
+    native C++ parser serves the records when available (each host decodes
+    the full gzip stream anyway — seeking a .gz requires inflating from the
+    start — so native full-parse + slicing beats the skip loop), with the
+    Python loop as fallback and oracle.
     """
+    try:
+        return _read_fastq_shard_native(paths, host_id, n_hosts)
+    except Exception:
+        pass
     if counts is None:
         counts = fastq_record_counts(paths, gzipped)
     total = sum(counts)
@@ -95,6 +104,53 @@ def read_fastq_shard(
                         taken += 1
         file_start = file_stop
     return start, names, seqs
+
+
+def _read_fastq_shard_native(paths: Sequence[str], host_id: int, n_hosts: int):
+    import numpy as np
+
+    from ..native import build as native_build
+    from .fastq import SeqBuffer, _read_fastq_native
+
+    native_build.ensure_built()
+    per_file = []  # (names, buf, offs) truncated to complete records
+    counts = []
+    for p in paths:
+        names, buf, offs, n_lines = _read_fastq_native(p)
+        rec = n_lines // 4  # complete records only (reference parse)
+        per_file.append((names[:rec], buf, offs[: rec + 1]))
+        counts.append(rec)
+    start, stop = shard_ranges(sum(counts), n_hosts)[host_id]
+
+    out_names: list[str] = []
+    bufs: list[np.ndarray] = []
+    offs_parts: list[np.ndarray] = []
+    file_start = 0
+    for (names, buf, offs), cnt in zip(per_file, counts):
+        lo = max(start, file_start)
+        hi = min(stop, file_start + cnt)
+        if lo < hi:
+            a, b = lo - file_start, hi - file_start
+            out_names.extend(names[a:b])
+            bufs.append(buf)
+            offs_parts.append(offs[a : b + 1])
+        file_start += cnt
+    if not offs_parts:
+        return start, [], SeqBuffer(np.empty(0, np.uint8), np.zeros(1, np.int64))
+    total_sz = sum(int(o[-1] - o[0]) for o in offs_parts)
+    all_buf = np.zeros(total_sz, np.uint8)
+    n_rec = sum(len(o) - 1 for o in offs_parts)
+    all_offs = np.zeros(n_rec + 1, np.int64)
+    bpos = 0
+    npos = 0
+    for buf, offs in zip(bufs, offs_parts):
+        o0, o1 = int(offs[0]), int(offs[-1])
+        all_buf[bpos : bpos + o1 - o0] = buf[o0:o1]
+        cnt = len(offs) - 1
+        np.add(offs[1:], bpos - o0, out=all_offs[npos + 1 : npos + 1 + cnt])
+        bpos += o1 - o0
+        npos += cnt
+    return start, out_names, SeqBuffer(all_buf, all_offs)
 
 
 def read_tsv_shard(path: str, host_id: int, n_hosts: int):

@@ -15,6 +15,7 @@ _SRCS = [
     _DIR / "bam_reader.cpp",
     _DIR / "fastq_reader.cpp",
     _DIR / "tsv_reader.cpp",
+    _DIR / "hash_table.cpp",
 ]
 _LIB = _DIR / "libsctag_io.so"
 
@@ -54,6 +55,7 @@ def load():
         ctypes.POINTER(ctypes.c_char_p),    # seq_buf
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),  # seq_offs
         ctypes.POINTER(ctypes.c_int64),     # n_seqs
+        ctypes.POINTER(ctypes.c_int64),     # n_lines
         ctypes.POINTER(ctypes.c_char_p),    # error
     ]
     lib.sctag_encode_rows.restype = None
@@ -77,6 +79,15 @@ def load():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.sctag_hash_build.restype = None
+    lib.sctag_hash_build.argtypes = [
+        ctypes.c_void_p,  # keys (uint32*)
+        ctypes.c_void_p,  # vals (int32*)
+        ctypes.c_int64,   # n
+        ctypes.c_int64,   # size (power of two)
+        ctypes.c_void_p,  # tkeys out
+        ctypes.c_void_p,  # tvals out (pre-filled with INT32_MIN)
     ]
     lib.sctag_free.restype = None
     lib.sctag_free.argtypes = [ctypes.c_void_p]

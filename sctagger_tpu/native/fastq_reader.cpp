@@ -35,6 +35,7 @@ struct FastqOut {
     std::string seqs;             // concatenated, no separators
     std::vector<int64_t> offs;    // n_seqs + 1 offsets into seqs
     int64_t n_names = 0;
+    int64_t n_lines = 0;          // total lines (records = n_lines / 4)
     std::string error;
 };
 
@@ -94,6 +95,7 @@ class FastqParser {
             out_.offs.push_back((int64_t)out_.seqs.size());
         }
         line_idx_++;
+        out_.n_lines = line_idx_;
         line_.clear();
         return true;
     }
@@ -122,11 +124,11 @@ extern "C" {
 //   seq_offs  : n_seqs + 1 int64 offsets into seq_buf
 int sctag_read_fastq(const char* path, char** names_buf, int64_t* names_len,
                      int64_t* n_names, char** seq_buf, int64_t** seq_offs,
-                     int64_t* n_seqs, char** error) {
+                     int64_t* n_seqs, int64_t* n_lines, char** error) {
     *names_buf = nullptr;
     *seq_buf = nullptr;
     *seq_offs = nullptr;
-    *names_len = *n_names = *n_seqs = 0;
+    *names_len = *n_names = *n_seqs = *n_lines = 0;
     *error = nullptr;
 
     gzFile f = gzopen(path, "rb");
@@ -163,6 +165,7 @@ int sctag_read_fastq(const char* path, char** names_buf, int64_t* names_len,
     *names_buf = dup_malloc(out.names);
     *names_len = (int64_t)out.names.size();
     *n_names = out.n_names;
+    *n_lines = out.n_lines;
     *seq_buf = dup_malloc(out.seqs);
     *n_seqs = (int64_t)out.offs.size() - 1;
     *seq_offs =

@@ -66,6 +66,120 @@ def _probe(sorted_keys, values, qkeys, qvalid):
     return hit, val
 
 
+@functools.partial(jax.jit)
+def _sortjoin_probe(sorted_keys, values, qkeys, qvalid):
+    """Zero-random-access lookup for TPU: sort (table ‖ queries) together,
+    sweep the 'last table entry' forward with an associative scan, sort back.
+
+    Three sequential-memory passes (two multi-operand sorts + one scan)
+    replace per-query HBM gathers — the binary-search and open-addressing
+    probes both lose to this on TPU because XLA gathers from a 24-64 MB HBM
+    table are serialized (measured in the ROADMAP.md probe shootout).
+    """
+    nt = sorted_keys.shape[0]
+    qshape = qkeys.shape
+    q = qkeys.reshape(-1)
+    nq = q.shape[0]
+    k_all = jnp.concatenate([sorted_keys, q])
+    # tag 0 = table, 1 = query: equal keys sort table-first (num_keys=2)
+    tag = jnp.concatenate(
+        [jnp.zeros(nt, jnp.int32), jnp.ones(nq, jnp.int32)]
+    )
+    val_all = jnp.concatenate([values, jnp.zeros(nq, jnp.int32)])
+    idx = jnp.arange(nt + nq, dtype=jnp.int32)
+    sk, st, sv, si = jax.lax.sort((k_all, tag, val_all, idx), num_keys=2)
+
+    # forward-propagate the last table (key, value): f(a, b) = b if b is a
+    # table entry else a — associative, so lax.associative_scan applies
+    is_t = st == 0
+    def _carry(a, b):
+        ak, av, avalid = a
+        bk, bv, bvalid = b
+        pick_b = bvalid
+        return (
+            jnp.where(pick_b, bk, ak),
+            jnp.where(pick_b, bv, av),
+            avalid | bvalid,
+        )
+
+    lastk, lastv, seen_t = jax.lax.associative_scan(
+        _carry, (sk, sv, is_t)
+    )
+    # seen_t gates queries that precede every table entry (their lastk is
+    # their own key — a spurious self-match without the gate)
+    hit_s = ~is_t & seen_t & (lastk == sk)
+    val_s = jnp.where(hit_s, lastv, 0)
+
+    # restore original order: one more sort by provenance index
+    _, hit_o, val_o = jax.lax.sort(
+        (si, hit_s.astype(jnp.int32), val_s), num_keys=1
+    )
+    hit = (hit_o[nt:].reshape(qshape) == 1) & qvalid
+    return hit, jnp.where(hit, val_o[nt:].reshape(qshape), 0)
+
+
+HASH_EMPTY = np.int32(np.iinfo(np.int32).min)
+
+
+def build_hash_table(sorted_keys: np.ndarray, values: np.ndarray):
+    """Open-addressing table (keys uint32, vals int32) at load <= 0.5.
+
+    Built by the native C insert loop (collision chains are serial); slot
+    emptiness lives in the value array (HASH_EMPTY) because every uint32 is
+    a valid packed k-mer. Returns (tkeys, tvals); raises if the native
+    library is unavailable (callers fall back to the sorted-array probe).
+    """
+    from ..native import build as native_build
+
+    n = int(sorted_keys.size)
+    size = 1
+    while size < max(2 * n, 2):
+        size *= 2
+    tkeys = np.zeros(size, np.uint32)
+    tvals = full_fast(size, HASH_EMPTY, np.int32)
+    if n:
+        keys = np.ascontiguousarray(sorted_keys, dtype=np.uint32)
+        vals = np.ascontiguousarray(values, dtype=np.int32)
+        lib = native_build.load()
+        lib.sctag_hash_build(
+            keys.ctypes.data, vals.ctypes.data, n, size,
+            tkeys.ctypes.data, tvals.ctypes.data,
+        )
+    return tkeys, tvals
+
+
+@functools.partial(jax.jit)
+def _hash_probe(tkeys, tvals, qkeys, qvalid):
+    """Linear-probing lookup: expected ~1-2 gathers/query at load <= 0.5
+    (vs a 23-step binary search for a 6M-key whitelist). The while_loop trip
+    count is data-dependent but the shape is fixed — no recompiles."""
+    size = tkeys.shape[0]
+    mask = jnp.uint32(size - 1)
+    shift = 32 - int(size).bit_length() + 1  # size = 1 << (bit_length - 1)
+    h0 = (qkeys * jnp.uint32(2654435761)) >> jnp.uint32(shift)
+
+    def cond(state):
+        _, done, _, _ = state
+        return ~jnp.all(done)
+
+    def body(state):
+        h, done, hit, val = state
+        k = tkeys[h & mask]
+        v = tvals[h & mask]
+        empty = v == HASH_EMPTY
+        match = (k == qkeys) & ~empty
+        hit = jnp.where(~done & match, True, hit)
+        val = jnp.where(~done & match, v, val)
+        done = done | empty | match
+        return h + jnp.uint32(1), done, hit, val
+
+    done0 = ~qvalid  # invalid windows never probe
+    hit0 = jnp.zeros_like(qvalid)
+    val0 = jnp.zeros(qkeys.shape, jnp.int32)
+    _, _, hit, val = jax.lax.while_loop(cond, body, (h0, done0, hit0, val0))
+    return hit, val
+
+
 def probe_segments(
     segments: list[str],
     sorted_keys: np.ndarray,
@@ -84,6 +198,16 @@ def probe_segments(
     single_val = np.zeros(n, dtype=np.int64)
     sk = jnp.asarray(sorted_keys.view(np.uint32))
     vv = jnp.asarray(values.astype(np.int32))
+    # sort-join probe on TPU (no random HBM access — see the probe shootout
+    # in ROADMAP.md: sort-join 10x faster than binary search; the hash table
+    # loses 2x to gather latency); binary search elsewhere (CPU gathers are
+    # cheap and the extra sorts are not).
+    if jax.default_backend() == "tpu":
+        def probe(qk, qv):
+            return _sortjoin_probe(sk, vv, qk, qv)
+    else:
+        def probe(qk, qv):
+            return _probe(sk, vv, qk, qv)
     # one padded length for every chunk: a single compiled probe shape
     # (each distinct shape costs a full remote compile on the axon backend)
     L = max(int(seq_lengths(segments).max(initial=0)) if n else k, k)
@@ -99,8 +223,8 @@ def probe_segments(
         qkeys, qvalid = pack_kmers_from_codes(codes, lens, k)
         if qkeys.size == 0:
             continue
-        hit, val = _probe(
-            sk, vv, jnp.asarray(qkeys.view(np.uint32)), jnp.asarray(qvalid)
+        hit, val = probe(
+            jnp.asarray(qkeys.view(np.uint32)), jnp.asarray(qvalid)
         )
         hit = np.asarray(hit)
         val = np.asarray(val, dtype=np.int64)

@@ -144,3 +144,121 @@ def test_stage2_plotfile(tmp_path):
     cli_main(["extract_sr_bc", "-i", path, "--step-size", "2",
               "-o", str(out), "-p", str(plot)])
     assert plot.exists() and out.exists()
+
+
+def test_hash_probe_matches_sorted_probe():
+    """Open-addressing device probe vs the sorted-array binary search on
+    adversarial keys: clustered sequential keys, extreme values, misses."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sctagger_tpu.ops.exact_lookup import (
+        _hash_probe,
+        _probe,
+        build_hash_table,
+    )
+
+    rng = np.random.default_rng(8)
+    # clustered keys (hash collisions via sequential values) + extremes
+    keys = np.unique(
+        np.concatenate([
+            rng.integers(0, 2**32, size=5000, dtype=np.uint32),
+            np.arange(7_000_000, 7_002_000, dtype=np.uint32),
+            np.array([0, 1, 2**32 - 1, 2**32 - 2], dtype=np.uint32),
+        ])
+    ).astype(np.uint32)
+    vals = rng.integers(-3_000_000, 3_000_000, size=keys.size).astype(np.int64)
+
+    tk, tv = build_hash_table(keys, vals)
+    queries = np.concatenate([
+        keys[:: 3],
+        rng.integers(0, 2**32, size=4000, dtype=np.uint32),  # mostly misses
+        np.array([0, 2**32 - 1], dtype=np.uint32),
+    ]).astype(np.uint32)
+    qvalid = rng.random(queries.size) < 0.9
+
+    h1, v1 = _hash_probe(
+        jnp.asarray(tk), jnp.asarray(tv), jnp.asarray(queries),
+        jnp.asarray(qvalid),
+    )
+    h2, v2 = _probe(
+        jnp.asarray(keys), jnp.asarray(vals.astype(np.int32)),
+        jnp.asarray(queries), jnp.asarray(qvalid),
+    )
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_hash_table_empty_and_tiny():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sctagger_tpu.ops.exact_lookup import _hash_probe, build_hash_table
+
+    tk, tv = build_hash_table(np.empty(0, np.uint32), np.empty(0, np.int64))
+    h, v = _hash_probe(
+        jnp.asarray(tk), jnp.asarray(tv),
+        jnp.asarray(np.array([5, 9], np.uint32)),
+        jnp.asarray(np.array([True, True])),
+    )
+    assert not np.asarray(h).any()
+
+    tk, tv = build_hash_table(
+        np.array([42], np.uint32), np.array([-7], np.int64)
+    )
+    h, v = _hash_probe(
+        jnp.asarray(tk), jnp.asarray(tv),
+        jnp.asarray(np.array([42, 43], np.uint32)),
+        jnp.asarray(np.array([True, True])),
+    )
+    assert np.asarray(h).tolist() == [True, False]
+    assert np.asarray(v)[0] == -7
+
+
+def test_sortjoin_probe_matches_sorted_probe():
+    """Sort-join (TPU path) vs binary search, incl. queries below/above the
+    whole table range and 2-D query shapes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sctagger_tpu.ops.exact_lookup import _probe, _sortjoin_probe
+
+    rng = np.random.default_rng(21)
+    keys = np.unique(
+        rng.integers(100, 2**32 - 100, size=4000, dtype=np.uint32)
+    ).astype(np.uint32)
+    vals = rng.integers(-3_000_000, 3_000_000, size=keys.size).astype(np.int64)
+    queries = np.concatenate([
+        keys[::2],
+        rng.integers(0, 2**32, size=3000, dtype=np.uint32),
+        np.array([0, 1, 99, 2**32 - 1], dtype=np.uint32),  # outside range
+    ]).astype(np.uint32)
+    rng.shuffle(queries)
+    queries = queries[: (queries.size // 4) * 4].reshape(-1, 4)  # 2-D shape
+    qvalid = rng.random(queries.shape) < 0.9
+
+    h1, v1 = _sortjoin_probe(
+        jnp.asarray(keys), jnp.asarray(vals.astype(np.int32)),
+        jnp.asarray(queries), jnp.asarray(qvalid),
+    )
+    h2, v2 = _probe(
+        jnp.asarray(keys), jnp.asarray(vals.astype(np.int32)),
+        jnp.asarray(queries), jnp.asarray(qvalid),
+    )
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_sortjoin_probe_empty_table():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sctagger_tpu.ops.exact_lookup import _sortjoin_probe
+
+    h, v = _sortjoin_probe(
+        jnp.asarray(np.empty(0, np.uint32)),
+        jnp.asarray(np.empty(0, np.int32)),
+        jnp.asarray(np.array([[7, 8]], np.uint32)),
+        jnp.asarray(np.array([[True, True]])),
+    )
+    assert not np.asarray(h).any()
