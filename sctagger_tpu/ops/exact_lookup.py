@@ -16,6 +16,7 @@ Dictionary semantics reproduced exactly:
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -198,16 +199,26 @@ def probe_segments(
     single_val = np.zeros(n, dtype=np.int64)
     sk = jnp.asarray(sorted_keys.view(np.uint32))
     vv = jnp.asarray(values.astype(np.int32))
-    # sort-join probe on TPU (no random HBM access — see the probe shootout
-    # in ROADMAP.md: sort-join 10x faster than binary search; the hash table
-    # loses 2x to gather latency); binary search elsewhere (CPU gathers are
-    # cheap and the extra sorts are not).
-    if jax.default_backend() == "tpu":
-        def probe(qk, qv):
-            return _sortjoin_probe(sk, vv, qk, qv)
-    else:
-        def probe(qk, qv):
-            return _probe(sk, vv, qk, qv)
+    # sort-join probe on TPU (no random HBM access — the ROADMAP.md probe
+    # shootout shows per-query HBM gathers lose: the open-addressing hash
+    # table is 2x SLOWER than binary search); binary search elsewhere (CPU
+    # gathers are cheap and the extra sorts are not). The remote compiler
+    # occasionally OOMs on the sort-join program — fall back to binary
+    # search at runtime rather than failing the stage.
+    state = {"use_sortjoin": jax.default_backend() == "tpu"}
+
+    def probe(qk, qv):
+        if state["use_sortjoin"]:
+            try:
+                return _sortjoin_probe(sk, vv, qk, qv)
+            except Exception as e:  # compiler OOM/unsupported: degrade
+                print(
+                    f"sort-join probe unavailable ({type(e).__name__}); "
+                    "falling back to binary search",
+                    file=sys.stderr,
+                )
+                state["use_sortjoin"] = False
+        return _probe(sk, vv, qk, qv)
     # one padded length for every chunk: a single compiled probe shape
     # (each distinct shape costs a full remote compile on the axon backend)
     L = max(int(seq_lengths(segments).max(initial=0)) if n else k, k)
