@@ -40,14 +40,21 @@ DEF_BR = 1024  # reads per block (lanes); best of tools/sweep_blocks.py
 DEF_BP = 256  # patterns per block (sublanes)
 
 
-def _myers_hw_step(pv, mv, score, eq, m: int):
-    high = jnp.int32(high_bit(m))
+def _wrapped_const(value: int, wdt) -> jnp.ndarray:
+    """Integer constant in word dtype ``wdt`` with two's-complement wrap
+    (e.g. 1<<15 -> int16 -32768, the sign bit)."""
+    npdt = np.dtype(wdt.dtype if hasattr(wdt, "dtype") else wdt)
+    return jnp.asarray(np.array(value, np.uint64).astype(npdt))
+
+
+def _myers_hw_step(pv, mv, score, eq, m: int, wdt=jnp.int32):
+    high = _wrapped_const(high_bit(m), wdt)
     xv = eq | mv
     xh = (((eq & pv) + pv) ^ pv) | eq
     ph = mv | ~(xh | pv)
     mh = pv & xh
-    score = score + ((ph & high) != 0).astype(jnp.int32)
-    score = score - ((mh & high) != 0).astype(jnp.int32)
+    score = score + ((ph & high) != 0).astype(wdt)
+    score = score - ((mh & high) != 0).astype(wdt)
     ph = ph << 1
     mh = mh << 1
     pv = mh | ~(xv | ph)
@@ -55,31 +62,55 @@ def _myers_hw_step(pv, mv, score, eq, m: int):
     return pv, mv, score
 
 
-def _eq_from_row(c_row, peq_cols, bp, br):
+def _eq_from_row(c_row, peq_cols, bp, br, wdt=jnp.int32):
     """c_row: (1, BR) codes; peq_cols: list of 4 (BP, 1) columns -> (BP, BR)."""
-    eq = jnp.zeros((bp, br), jnp.int32)
+    eq = jnp.zeros((bp, br), wdt)
+    if wdt == jnp.int16:
+        # Mosaic (as of jax 0.8) rejects the doubly-replicated i1 mask this
+        # where() produces at 16-bit layouts ("Invalid relayout: ... replicated
+        # in destination but not in source"); materializing the row to the
+        # full block sidesteps it. Keep the int32 path untouched (its compiled
+        # form is the production kernel).
+        c_row = jnp.broadcast_to(c_row, (bp, br))
     for b in range(4):
         eq = jnp.where(c_row == b, peq_cols[b], eq)
     return eq
 
 
-def _match_min_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int):
-    bp, br = peq_ref.shape[0], seg_ref.shape[1]
-    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (BP, 1) each
-    seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
+def _dp_sweep(seg32_ref, peq_ref, *, m: int, ls: int, w16: bool = False):
+    """Myers HW sweep over all ``ls`` text rows -> per-(pattern, read) best
+    infix distance, (BP, BR) int32.
 
-    pv0 = jnp.full((bp, br), -1, jnp.int32)
-    mv0 = jnp.zeros((bp, br), jnp.int32)
-    s0 = jnp.full((bp, br), m, jnp.int32)
+    ``w16`` runs the DP word in int16 — valid only for m <= 16: the m-bit
+    vectors fit the halfword exactly, and Myers tolerates discarded carries
+    above bit m-1 (only bits < m feed the score; carries propagate upward).
+    Halves the VPU register footprint of the carried state.
+    """
+    assert not w16 or m <= 16, m
+    wdt = jnp.int16 if w16 else jnp.int32
+    bp, br = peq_ref.shape[0], seg32_ref.shape[1]
+    peq_cols = [peq_ref[:, b : b + 1].astype(wdt) for b in range(4)]  # (BP, 1)
+
+    pv0 = jnp.full((bp, br), -1, wdt)
+    mv0 = jnp.zeros((bp, br), wdt)
+    s0 = jnp.full((bp, br), m, wdt)
 
     def body(j, carry):
         pv, mv, score, best = carry
-        c_row = seg32_ref[pl.ds(j, 1), :]  # (1, BR)
-        eq = _eq_from_row(c_row, peq_cols, bp, br)
-        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
+        c_row = seg32_ref[pl.ds(j, 1), :].astype(wdt)  # (1, BR)
+        eq = _eq_from_row(c_row, peq_cols, bp, br, wdt)
+        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m, wdt)
         return pv, mv, score, jnp.minimum(best, score)
 
     _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+    return best.astype(jnp.int32)
+
+
+def _match_min_kernel(
+    seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int, w16: bool = False
+):
+    seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
+    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, w16=w16)
     row_min = jnp.min(best, axis=0, keepdims=True)  # (1, BR)
 
     @pl.when(pl.program_id(1) == 0)
@@ -91,24 +122,12 @@ def _match_min_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int):
         out_ref[:, :] = jnp.minimum(out_ref[:, :], row_min)
 
 
-def _match_best_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int):
+def _match_best_kernel(
+    seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int, w16: bool = False
+):
     """Writes the full per-(pattern, read) best-distance block (pass 2)."""
-    bp, br = peq_ref.shape[0], seg_ref.shape[1]
-    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (BP, 1) each
     seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
-
-    pv0 = jnp.full((bp, br), -1, jnp.int32)
-    mv0 = jnp.zeros((bp, br), jnp.int32)
-    s0 = jnp.full((bp, br), m, jnp.int32)
-
-    def body(j, carry):
-        pv, mv, score, best = carry
-        c_row = seg32_ref[pl.ds(j, 1), :]  # (1, BR)
-        eq = _eq_from_row(c_row, peq_cols, bp, br)
-        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
-        return pv, mv, score, jnp.minimum(best, score)
-
-    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, w16=w16)
     out_ref[:, :] = jnp.minimum(best, 127).astype(jnp.int8)
 
 
@@ -116,7 +135,10 @@ TIES_K = 8  # in-kernel tie slots; overflow reads escalate host-side
 BIG = 1 << 28
 
 
-def _match_ties_kernel(seg_ref, peq_ref, tgt_ref, out_ref, seg32_ref, *, m: int, ls: int):
+def _match_ties_kernel(
+    seg_ref, peq_ref, tgt_ref, out_ref, seg32_ref, *, m: int, ls: int,
+    w16: bool = False,
+):
     """Per-read hit count + first-TIES_K hit pattern ids at the target
     distance, accumulated across the pattern grid axis (pass 2, fused).
 
@@ -131,20 +153,8 @@ def _match_ties_kernel(seg_ref, peq_ref, tgt_ref, out_ref, seg32_ref, *, m: int,
         for t in range(TIES_K):
             out_ref[t + 1 : t + 2, :] = jnp.full((1, br), BIG, jnp.int32)
 
-    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]
     seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
-    pv0 = jnp.full((bp, br), -1, jnp.int32)
-    mv0 = jnp.zeros((bp, br), jnp.int32)
-    s0 = jnp.full((bp, br), m, jnp.int32)
-
-    def body(jj, carry):
-        pv, mv, score, best = carry
-        c_row = seg32_ref[pl.ds(jj, 1), :]
-        eq = _eq_from_row(c_row, peq_cols, bp, br)
-        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
-        return pv, mv, score, jnp.minimum(best, score)
-
-    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, w16=w16)
 
     hits = best == tgt_ref[0:1, :]  # (BP, BR)
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (bp, br), 0) + j * bp
@@ -166,7 +176,9 @@ def _match_ties_kernel(seg_ref, peq_ref, tgt_ref, out_ref, seg32_ref, *, m: int,
         out_ref[t + 1 : t + 2, :] = slots[t]
 
 
-def _match_full_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int):
+def _match_full_kernel(
+    seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int, w16: bool = False
+):
     """Single-sweep matcher: min distance + tie count + first-TIES_K tie
     pattern ids, all against the RUNNING min across pattern blocks
     (reset-on-improve — no separate target pass needed).
@@ -184,20 +196,8 @@ def _match_full_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int)
         for t in range(TIES_K):
             out_ref[t + 2 : t + 3, :] = jnp.full((1, br), BIG, jnp.int32)
 
-    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]
     seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
-    pv0 = jnp.full((bp, br), -1, jnp.int32)
-    mv0 = jnp.zeros((bp, br), jnp.int32)
-    s0 = jnp.full((bp, br), m, jnp.int32)
-
-    def body(jj, carry):
-        pv, mv, score, best = carry
-        c_row = seg32_ref[pl.ds(jj, 1), :]
-        eq = _eq_from_row(c_row, peq_cols, bp, br)
-        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m)
-        return pv, mv, score, jnp.minimum(best, score)
-
-    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, w16=w16)
 
     d_old = out_ref[0:1, :]
     block_min = jnp.min(best, axis=0, keepdims=True)
@@ -228,18 +228,21 @@ def _match_full_kernel(seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int)
         out_ref[t + 2 : t + 3, :] = slots[t]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "br", "bp"))
-def match_full_tpu(seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP):
+@functools.partial(jax.jit, static_argnames=("m", "br", "bp", "w16"))
+def match_full_tpu(
+    seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP,
+    w16: bool = False,
+):
     """Single-sweep min + ties. seg_T: (Ls, R_pad) int8.
 
     Returns (TIES_K+2, R_pad) int32: [0] min dist, [1] tie count,
-    [2..] tie slots.
+    [2..] tie slots. ``w16`` selects the int16 DP word (m <= 16 only).
     """
     ls, r = seg_T.shape
     p = peq_pm.shape[0]
     grid = (r // br, p // bp)
     return pl.pallas_call(
-        functools.partial(_match_full_kernel, m=m, ls=ls),
+        functools.partial(_match_full_kernel, m=m, ls=ls, w16=w16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),

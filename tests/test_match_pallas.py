@@ -163,6 +163,43 @@ def test_pallas_full_kernel(small_problem):
         np.testing.assert_array_equal(out[2 : 2 + k, rr], hits[:k])
 
 
+def test_pallas_full_kernel_w16(small_problem):
+    """int16-word DP (m=16 exactly fills the halfword) == int32-word DP."""
+    from sctagger_tpu.ops.match_pallas import TIES_K, _match_full_kernel
+
+    segs, barcodes, seg_codes, peq = small_problem
+    br, bp = 128, 8
+    seg_T = prep_segs_T(seg_codes, ls=64, br=br)
+    peq_pm = prep_peq_cols(peq, bp=bp)
+    r = seg_T.shape[1]
+    p = peq_pm.shape[0]
+
+    def run(w16):
+        return np.asarray(
+            pl.pallas_call(
+                functools.partial(_match_full_kernel, m=16, ls=64, w16=w16),
+                grid=(r // br, p // bp),
+                in_specs=[
+                    pl.BlockSpec(
+                        (64, br), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (TIES_K + 2, br), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((TIES_K + 2, r), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((64, br), jnp.int32)],
+                interpret=True,
+            )(jnp.asarray(seg_T), jnp.asarray(peq_pm))
+        )[:, : len(segs)]
+
+    np.testing.assert_array_equal(run(True), run(False))
+
+
 def test_pallas_best_matches_jnp(small_problem):
     segs, barcodes, seg_codes, peq = small_problem
     br, bp = 128, 8
