@@ -100,24 +100,29 @@ _AHOCORASICK_ORACLE = """
 class Automaton:
     def __init__(self):
         self._d = {}
-        self._len = None
+        self._lens = set()
 
     def add_word(self, word, value):
-        assert self._len is None or self._len == len(word), "equal-length only"
-        self._len = len(word)
+        self._lens.add(len(word))
         self._d[word] = value
 
     def make_automaton(self):
         pass
 
     def iter(self, haystack):
-        k = self._len
-        if k is None:
-            return
-        for e in range(k - 1, len(haystack)):
-            w = haystack[e - k + 1 : e + 1]
-            if w in self._d:
-                yield e, self._d[w]
+        # The real pyahocorasick yields EVERY (end_index, value) occurrence
+        # (suffix links => all overlapping matches, mixed lengths included),
+        # ordered by end index; shorter (suffix) words fire before longer
+        # ones at the same end. Only the count and the single-hit value are
+        # consumed by the reference, but preserve that order anyway.
+        lens = sorted(self._lens)
+        for e in range(len(haystack)):
+            for k in reversed(lens):
+                if k == 0 or k > e + 1:
+                    continue
+                w = haystack[e - k + 1 : e + 1]
+                if w in self._d:
+                    yield e, self._d[w]
 """
 
 
