@@ -16,6 +16,7 @@ Dictionary semantics reproduced exactly:
 from __future__ import annotations
 
 import functools
+import os
 import sys
 
 import jax
@@ -199,13 +200,17 @@ def probe_segments(
     single_val = np.zeros(n, dtype=np.int64)
     sk = jnp.asarray(sorted_keys.view(np.uint32))
     vv = jnp.asarray(values.astype(np.int32))
-    # sort-join probe on TPU (no random HBM access — the ROADMAP.md probe
-    # shootout shows per-query HBM gathers lose: the open-addressing hash
-    # table is 2x SLOWER than binary search); binary search elsewhere (CPU
-    # gathers are cheap and the extra sorts are not). The remote compiler
-    # occasionally OOMs on the sort-join program — fall back to binary
-    # search at runtime rather than failing the stage.
-    state = {"use_sortjoin": jax.default_backend() == "tpu"}
+    # binary search is the default probe everywhere. The probe shootout
+    # (ROADMAP.md): open-addressing hash is 2x SLOWER than binary search on
+    # TPU (per-query random HBM gathers lose); the sort-join variant (zero
+    # random access) never produced a steady-state number because its remote
+    # compile either fails OR HANGS >20 min (2026-08-18) — and a hang never
+    # reaches the exception fallback, so it cannot be the default. Opt in
+    # with SCTAG_SORTJOIN=1 to retry on future compiler versions.
+    state = {
+        "use_sortjoin": os.environ.get("SCTAG_SORTJOIN") == "1"
+        and jax.default_backend() == "tpu"
+    }
 
     def probe(qk, qv):
         if state["use_sortjoin"]:
