@@ -44,7 +44,10 @@ def _wrapped_const(value: int, wdt) -> jnp.ndarray:
     """Integer constant in word dtype ``wdt`` with two's-complement wrap
     (e.g. 1<<15 -> int16 -32768, the sign bit)."""
     npdt = np.dtype(wdt.dtype if hasattr(wdt, "dtype") else wdt)
-    return jnp.asarray(np.array(value, np.uint64).astype(npdt))
+    # Mask into the unsigned 64-bit range first: numpy 2 rejects negative
+    # Python ints for unsigned dtypes (high_bit(32) == -2**31 would raise
+    # OverflowError), while the masked value wraps to the same bit pattern.
+    return jnp.asarray(np.array(value & ((1 << 64) - 1), np.uint64).astype(npdt))
 
 
 def _myers_hw_step(pv, mv, score, eq, m: int, wdt=jnp.int32):

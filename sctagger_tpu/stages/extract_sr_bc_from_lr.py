@@ -39,10 +39,14 @@ def run(args) -> None:
         _, lines = read_tsv_shard(args.input, args.host_id, n_hosts)
         segments: list[str] = []
         for l in lines:
-            _, _, p, seg = l.split("\t")  # exact 4-field unpack (reference)
-            if p == "NA":
+            # Tolerant parse (index, not unpack) to match the shared native
+            # reader used single-host: rows with >4 tab fields behave the same
+            # at any host count (documented divergence from the reference's
+            # strict unpack, ROADMAP.md).
+            c = l.split("\t")
+            if c[2] == "NA":
                 continue
-            segments.append(seg)
+            segments.append(c[3])
     else:
         from ..io.tsv import read_lr_segments_tsv
 

@@ -112,9 +112,11 @@ class Automaton:
     def iter(self, haystack):
         # The real pyahocorasick yields EVERY (end_index, value) occurrence
         # (suffix links => all overlapping matches, mixed lengths included),
-        # ordered by end index; shorter (suffix) words fire before longer
-        # ones at the same end. Only the count and the single-hit value are
-        # consumed by the reference, but preserve that order anyway.
+        # ordered by end index; longer words fire before their shorter
+        # suffixes at the same end index (the current node is the longest
+        # match; suffix/output links walk to shorter ones). Only the count
+        # and the single-hit value are consumed by the reference, but
+        # preserve that order anyway.
         lens = sorted(self._lens)
         for e in range(len(haystack)):
             for k in reversed(lens):

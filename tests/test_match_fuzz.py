@@ -42,7 +42,7 @@ def _self_rc(bl: int) -> str:
     return "AT" * (bl // 2)
 
 
-def _make_barcodes(rng, bl: int, n_total: int) -> list[str]:
+def _make_barcodes(rng, bl: int, n_total: int) -> tuple[list[str], str]:
     seen: set[str] = set()
     bcs: list[str] = []
 

@@ -209,3 +209,34 @@ def test_pallas_best_matches_jnp(small_problem):
     ref_min = np.asarray(match_block_min(seg_T[:, : len(segs)], jnp.asarray(peq), 16))
     got_min = best[: len(barcodes), : len(segs)].min(axis=0)
     np.testing.assert_array_equal(got_min, ref_min)
+
+
+def test_pallas_min_bl32_single_word(small_problem=None):
+    """Regression: bl=32 barcodes stay on the single-word path (high_bit(32)
+    wraps to the int32 sign bit) — _wrapped_const must not overflow numpy 2's
+    unsigned constructor at trace time (ADVICE r1)."""
+    rng = np.random.default_rng(32)
+    barcodes = [random_dna(rng, 32) for _ in range(8)]
+    segs = []
+    for _ in range(40):
+        n = int(rng.integers(0, 30))
+        s = random_dna(rng, n)
+        if rng.random() < 0.7:
+            bc = barcodes[rng.integers(len(barcodes))]
+            s = s[: n // 2] + mutate(rng, bc, int(rng.integers(0, 4))) + s[n // 2 :]
+        segs.append(s)
+    seg_codes, _ = encode_seqs(segs, pad_to=64, table=LENIENT_TABLE)
+    peq = build_peq_multi(encode_seqs(barcodes, pad_to=32, table=LENIENT_TABLE)[0])
+    br, bp = 128, 8
+    seg_T = prep_segs_T(seg_codes, ls=64, br=br)
+    peq_pm = prep_peq_cols(peq, bp=bp)
+    got = np.asarray(_pallas_min_interp(seg_T, peq_pm, 32, br, bp))[0]
+    ref = np.asarray(match_block_min(seg_T[:, : len(segs)], jnp.asarray(peq), 32))
+    np.testing.assert_array_equal(got[: len(segs)], ref)
+    # And against the brute-force DP oracle, independent of the Myers code.
+    from oracle import hw_best
+
+    want = np.array(
+        [min(hw_best(bc, s) for bc in barcodes) for s in segs], np.int32
+    )
+    np.testing.assert_array_equal(np.minimum(ref, 32), np.minimum(want, 32))
