@@ -146,6 +146,19 @@ def scan_adapters(
     peq2_np = np.asarray(peq2)
     overflow_rids: list[int] = []  # cnt > SLOTS_K: need the full mask path
 
+    # In-process multi-device: lay chunks out over the local ('data',) mesh
+    # (parallel/mesh.py) — N chips scan N-wide with zero code changes. The
+    # chunk scales by the mesh width so each device keeps the tuned
+    # per-device character budget.
+    from ..parallel.mesh import local_mesh
+
+    mesh = (
+        local_mesh(model_parallel=1)
+        if (use_kernel or jax.default_backend() != "tpu") and not mw
+        else None
+    )
+    n_mesh = int(mesh.shape["data"]) if mesh is not None else 1
+
     MAX_INFLIGHT = 64  # bound HBM held by queued chunks
     pending: list[tuple] = []  # (dev_out, sub, B)
 
@@ -166,6 +179,7 @@ def scan_adapters(
         if idx.size == 0:
             continue
         chunk = _chunk_for(L) if use_kernel else max(256, _chunk_for(L) // 8)
+        chunk *= n_mesh
         if progress:
             print(f"[scan] bucket<= {L}: {idx.size} reads", file=sys.stderr)
         for s, e in batch_iter(idx.size, chunk):
@@ -177,7 +191,7 @@ def scan_adapters(
                 # to the full chunk: wasted kernel-ms beat 3.5-min compiles).
                 dev = _kernel_dispatch(
                     codes, lengths[sub], peq2_np, m,
-                    b_pad=chunk, interpret=not on_tpu,
+                    b_pad=chunk, interpret=not on_tpu, mesh=mesh,
                 )
                 pending.append((dev, sub, sub.size))
                 _drain(MAX_INFLIGHT)
@@ -185,7 +199,7 @@ def scan_adapters(
                 _mask_chunk(
                     codes, lengths[sub], peq2, m, sub,
                     strands, dists, locs_per_read,
-                    rev_tasks_rid, rev_tasks_end,
+                    rev_tasks_rid, rev_tasks_end, mesh=mesh,
                 )
     _drain(0)
 
@@ -197,6 +211,7 @@ def scan_adapters(
                 file=sys.stderr,
             )
         ov = np.array(sorted(overflow_rids), dtype=np.int64)
+        mask_mesh = mesh if jax.default_backend() != "tpu" else None
         for s, e in batch_iter(ov.size, 256):
             sub = ov[s:e]
             L = int(round_up(max(lengths[sub].max(), 1), 32))
@@ -204,7 +219,7 @@ def scan_adapters(
             _mask_chunk(
                 codes, lengths[sub], peq2, m, sub,
                 strands, dists, locs_per_read,
-                rev_tasks_rid, rev_tasks_end,
+                rev_tasks_rid, rev_tasks_end, mesh=mask_mesh,
             )
 
     _recover_rev_starts(
@@ -224,21 +239,43 @@ def scan_adapters(
 
 def _mask_chunk(
     codes, sub_lens, peq2, m, sub,
-    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end,
+    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, mesh=None,
 ):
     """jnp mask path: exact full argmin-end sets via (L, B) masks.
 
-    Runs on the host CPU backend (see runtime.cpu_ctx) — it only handles
-    small fallback batches and CPU-backend test runs."""
-    with _cpu_ctx():
-        d, mask = _hw_block(
-            jnp.asarray(codes.astype(np.int32).T),
+    Without a mesh it runs on the host CPU backend (see runtime.cpu_ctx) —
+    small fallback batches and single-device CPU runs. With a mesh the reads
+    axis shards over 'data' (padded rows come back as d1==d2==m ties and are
+    skipped below)."""
+    B = codes.shape[0]
+    if mesh is not None:
+        from ..parallel.mesh import shard_hw_block
+
+        dp = int(mesh.shape["data"])
+        bp = round_up(max(B, 1), dp)
+        codes_p = full_fast((bp, codes.shape[1]), 4, np.int32)
+        codes_p[:B] = codes
+        lens_p = np.zeros(bp, np.int32)
+        lens_p[:B] = sub_lens
+        d, mask = shard_hw_block(
+            mesh,
+            jnp.asarray(codes_p.T),
             jnp.asarray(np.asarray(peq2)),
-            jnp.asarray(sub_lens.astype(np.int32)),
+            jnp.asarray(lens_p),
             m,
         )
-    d = np.asarray(d)
-    mask = np.asarray(mask)
+        d = np.asarray(d)[:B]
+        mask = np.asarray(mask)[:, :B]
+    else:
+        with _cpu_ctx():
+            d, mask = _hw_block(
+                jnp.asarray(codes.astype(np.int32).T),
+                jnp.asarray(np.asarray(peq2)),
+                jnp.asarray(sub_lens.astype(np.int32)),
+                m,
+            )
+        d = np.asarray(d)
+        mask = np.asarray(mask)
     d1, d2 = d[:, 0], d[:, 1]
     fwd = d1 < d2
     rev = d2 < d1
@@ -254,13 +291,15 @@ def _mask_chunk(
         rev_tasks_end.append(ends)
 
 
-def _kernel_dispatch(codes, sub_lens, peq2_np, m, b_pad, interpret=False):
+def _kernel_dispatch(codes, sub_lens, peq2_np, m, b_pad, interpret=False,
+                     mesh=None):
     """Issue one pallas adapter-scan chunk; returns the un-synced device
     output (sync happens in _kernel_collect)."""
     from ..ops.adapter_pallas import adapter_scan_dispatch
 
     return adapter_scan_dispatch(
-        codes, sub_lens, peq2_np, m, interpret=interpret, b_pad=b_pad
+        codes, sub_lens, peq2_np, m, interpret=interpret, b_pad=b_pad,
+        mesh=mesh,
     )
 
 

@@ -181,12 +181,21 @@ def match_segments(
         return codes
 
     from ..ops.match_pallas import TIES_K, match_full_tpu
+    from ..parallel.mesh import local_mesh, shard_match_full, shard_match_min
 
     chunks: list[tuple[np.ndarray, np.ndarray, int]] = []  # (sub, codes, ls)
     tie_by_chunk: list[np.ndarray | None] = [None] * len(chunk_specs)
 
-    # ---- single device sweep: min dist + running-min tie collection -------
+    # ---- device sweep: min dist + running-min tie collection --------------
+    # A process with N usable local devices lays every chunk out over an
+    # N-wide ('data',) mesh (parallel/mesh.py) — the in-node scaling analog
+    # of the reference's prefix-shard Pool (scTagger.py:688-716). One device
+    # => the tuned single-device dispatch, bit-identical output either way.
     if on_tpu:
+        # model axis must stay 1 for the fused kernel (tie slots don't
+        # commute across pattern shards)
+        mesh = local_mesh(divisor=PASS1_CHUNK // DEF_BR, model_parallel=1)
+        peq_j = jnp.asarray(peq_pm)
         MAX_INFLIGHT = 32  # bound HBM held by queued chunk inputs/outputs
         pending: list[tuple[int, object]] = []
 
@@ -204,21 +213,51 @@ def match_segments(
             seg_codes = _encode(sub, ls)
             chunks.append((sub, seg_codes, ls))
             seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=PASS1_CHUNK)
-            pending.append(
-                (ci, match_full_tpu(jnp.asarray(seg_T), jnp.asarray(peq_pm), bl))
-            )
+            if mesh is not None:
+                dev = shard_match_full(
+                    mesh, jnp.asarray(seg_T), peq_j, bl, br=DEF_BR, bp=DEF_BP
+                )
+            else:
+                dev = match_full_tpu(jnp.asarray(seg_T), peq_j, bl)
+            pending.append((ci, dev))
             _drain(MAX_INFLIGHT)
         _drain(0)
     else:
-        # jnp fallback (CPU backends, or multi-word barcodes): pin to the
-        # host CPU device so a TPU machine never pays per-shape remote
-        # compiles for this path (see CLAUDE.md compile-cost notes)
-        with _cpu_ctx():
+        # jnp fallback (CPU backends, or multi-word barcodes). On a TPU
+        # machine this path is the rare mw fallback and pins to the single
+        # host CPU device (a per-shape remote compile costs minutes, see
+        # CLAUDE.md); on CPU backends with several local devices it runs
+        # data+model sharded over the mesh instead.
+        mesh = (
+            local_mesh()
+            if not mw and jax.default_backend() != "tpu"
+            else None
+        )
+        if mesh is not None:
+            dp, mp = mesh.shape["data"], mesh.shape["model"]
+            P = peq.shape[1]
+            peq_pad = np.zeros((5, round_up(P, mp)), peq.dtype)
+            peq_pad[:, :P] = peq
+            peq_j = jnp.asarray(peq_pad)
             for sub, ls in chunk_specs:
                 seg_codes = _encode(sub, ls)
                 chunks.append((sub, seg_codes, ls))
-                seg_T = seg_codes.astype(np.int32).T
-                min_dist[sub] = _min_dist_jnp_chunked(seg_T, peq, bl)[: sub.size]
+                rp = round_up(sub.size, dp)
+                seg_T = full_fast((ls, rp), CODE_PAD, np.int32)
+                seg_T[:, : sub.size] = seg_codes.T
+                out = np.asarray(
+                    shard_match_min(mesh, jnp.asarray(seg_T), peq_j, bl)
+                )
+                min_dist[sub] = out[: sub.size]
+        else:
+            with _cpu_ctx():
+                for sub, ls in chunk_specs:
+                    seg_codes = _encode(sub, ls)
+                    chunks.append((sub, seg_codes, ls))
+                    seg_T = seg_codes.astype(np.int32).T
+                    min_dist[sub] = _min_dist_jnp_chunked(seg_T, peq, bl)[
+                        : sub.size
+                    ]
 
     matched = np.flatnonzero(min_dist <= max_error)
     matched_set_dists = min_dist[matched]

@@ -209,10 +209,13 @@ def adapter_scan_dispatch(
     m: int,
     interpret: bool = False,
     b_pad: int | None = None,
+    mesh=None,
 ):
     """Async variant: returns the device output WITHOUT syncing, so callers
     can overlap host encoding with device compute. Convert with np.asarray
-    and feed unpack_scan_out(out, B)."""
+    and feed unpack_scan_out(out, B). With ``mesh`` (parallel/mesh.py), the
+    read tiles are sharded over the mesh's data axis (b_pad must then be a
+    multiple of n_data * BLOCK_READS)."""
     B, L = codes.shape
     l_total = round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
     Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
@@ -223,12 +226,20 @@ def adapter_scan_dispatch(
     lens = np.zeros((Bp,), np.int32)
     lens[:B] = lengths
     lens = lens.reshape(Bp // 128, 128)
+    peq_tuple = tuple(int(x) for x in np.asarray(peq2).reshape(-1))
+    if mesh is not None:
+        from ..parallel.mesh import shard_adapter_scan
+
+        return shard_adapter_scan(
+            mesh, jnp.asarray(text), jnp.asarray(lens), m, l_total, peq_tuple,
+            interpret=interpret,
+        )
     return _adapter_scan_call(
         jnp.asarray(text),
         jnp.asarray(lens),
         m,
         l_total,
-        tuple(int(x) for x in np.asarray(peq2).reshape(-1)),
+        peq_tuple,
         interpret=interpret,
     )
 

@@ -231,15 +231,19 @@ def _match_full_kernel(
         out_ref[t + 2 : t + 3, :] = slots[t]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "br", "bp", "w16"))
+@functools.partial(
+    jax.jit, static_argnames=("m", "br", "bp", "w16", "interpret")
+)
 def match_full_tpu(
     seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP,
-    w16: bool = False,
+    w16: bool = False, interpret: bool = False,
 ):
     """Single-sweep min + ties. seg_T: (Ls, R_pad) int8.
 
     Returns (TIES_K+2, R_pad) int32: [0] min dist, [1] tie count,
     [2..] tie slots. ``w16`` selects the int16 DP word (m <= 16 only).
+    ``interpret`` runs the kernel in Pallas interpret mode (CPU tests of the
+    sharded production path, parallel/mesh.py).
     """
     ls, r = seg_T.shape
     p = peq_pm.shape[0]
@@ -256,6 +260,7 @@ def match_full_tpu(
         ),
         out_shape=jax.ShapeDtypeStruct((TIES_K + 2, r), jnp.int32),
         scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
+        interpret=interpret,
     )(seg_T, peq_pm)
 
 

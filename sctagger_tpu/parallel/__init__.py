@@ -1,6 +1,13 @@
 from .mesh import (  # noqa: F401
-    make_mesh,
+    STATS,
+    allreduce_processes,
+    compute_devices,
     dist_match_min,
-    dist_count_merge,
-    dist_histogram,
+    init_distributed,
+    local_mesh,
+    make_mesh,
+    shard_adapter_scan,
+    shard_hw_block,
+    shard_match_full,
+    shard_match_min,
 )

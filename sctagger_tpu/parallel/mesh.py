@@ -1,30 +1,32 @@
-"""Device mesh, shardings, and collectives (multi-chip / multi-host scaling).
+"""Device meshes, in-process sharding, and collectives (production path).
 
 The reference's only parallel backend is single-node fork multiprocessing
-(SURVEY.md §2.3). Here every strategy is a first-class jax.sharding layout
-over a 2-D ('data', 'model') mesh:
+(SURVEY.md §2.3); its flagship parallelizes INSIDE one node via prefix-shard
+workers (scTagger.py:688-716). The TPU-native equivalent here is SPMD over a
+jax.sharding.Mesh of the process's local devices:
 
   data  axis : long reads / segments (DP — the reference's read-chunk imap)
   model axis : whitelist patterns   (TP analog of its prefix-keyspace shards)
 
-Per-device partial results merge with XLA collectives riding ICI:
-  * stage 3: per-pattern-shard min distances -> lax.pmin over 'model';
-  * stage 2: per-shard barcode count vectors -> lax.psum;
-  * stage 1: per-shard adapter-location histograms -> lax.psum.
+Used by the PRODUCTION stage drivers (models/matcher.py, models/adapter.py):
+every device chunk is laid out over the local mesh with shard_map, so a
+process with N chips runs every kernel N-wide with zero code changes. The
+per-device body is the tuned single-device kernel (Pallas on TPU, the jnp
+scan fallback elsewhere); reductions over the model axis ride ICI via
+lax.pmin. Cross-HOST reductions (multihost.HostGroup's jax transport) go
+through `allreduce_processes` below, so this module is the single home for
+all mesh/collective code.
 
-Pipeline parallelism is host<->device streaming overlap (chunked dispatch in
-the stage drivers), and sequence parallelism lives INSIDE the kernels (the
-text-position scan axis) — per SURVEY.md §2.3 neither needs cross-chip
-communication for this workload.
-
-Multi-host bootstrap: call `init_distributed()` (jax.distributed.initialize)
-before building the mesh; each host then streams its own input shard
-(io layer) while meshes/collectives span all hosts.
+Env knobs:
+  SCTAG_MAX_DEVICES=N      cap the local mesh (0/unset = all local devices)
+  SCTAG_MODEL_PARALLEL=M   shard the pattern axis M-way in the jnp match
+                           pass (pmin merge; byte-identical output)
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +34,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.myers import match_block_min
+
+# Observability: how many sharded dispatches ran and over how many devices
+# (the multi-chip dryrun asserts the production path actually engaged).
+STATS = {"sharded_calls": 0, "devices": 0}
 
 
 def init_distributed(**kwargs) -> None:
@@ -42,7 +48,46 @@ def init_distributed(**kwargs) -> None:
         pass  # already initialized or single-process
 
 
+def compute_devices(backend: str | None = None) -> list:
+    """Local devices of ``backend`` (default backend when None), capped by
+    SCTAG_MAX_DEVICES."""
+    devs = jax.local_devices(backend=backend)
+    cap = int(os.environ.get("SCTAG_MAX_DEVICES", "0") or 0)
+    if cap > 0:
+        devs = devs[:cap]
+    return devs
+
+
+def local_mesh(
+    divisor: int = 0,
+    model_parallel: int | None = None,
+    backend: str | None = None,
+) -> Mesh | None:
+    """('data', 'model') mesh over this process's local devices.
+
+    Returns None when only one device is usable (callers then take their
+    tuned single-device path, bit-identical by construction). ``divisor``
+    constrains the data-axis size to divide it (kernel block granularity);
+    the largest usable device count wins. ``model_parallel`` defaults to
+    SCTAG_MODEL_PARALLEL (1).
+    """
+    devs = compute_devices(backend)
+    mp = (
+        int(os.environ.get("SCTAG_MODEL_PARALLEL", "1") or 1)
+        if model_parallel is None
+        else model_parallel
+    )
+    n = len(devs)
+    n -= n % mp
+    while n >= mp and divisor > 0 and divisor % (n // mp):
+        n -= mp
+    if n // max(mp, 1) < 1 or n < 2:
+        return None
+    return Mesh(np.array(devs[:n]).reshape(n // mp, mp), ("data", "model"))
+
+
 def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
+    """Explicit-size mesh (tests / tools); asserts enough devices exist."""
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
     assert n <= len(devs), (n, len(devs))
@@ -51,14 +96,54 @@ def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
     return Mesh(grid, ("data", "model"))
 
 
-def dist_match_min(mesh: Mesh, seg_T, peq, m: int):
-    """Sharded stage-3 pass 1: (Ls, R) codes x (5, P) Peq -> (R,) min dists.
+def _count(mesh: Mesh) -> None:
+    STATS["sharded_calls"] += 1
+    STATS["devices"] = int(mesh.devices.size)
 
-    Reads sharded over 'data', patterns over 'model'; per-device dense Myers
-    block, then a pmin collective over the pattern axis. Shapes must divide
-    the mesh axes.
-    """
 
+# ---------------------------------------------------------------------------
+# Stage 3: dense segment x whitelist matching over the mesh
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "m", "br", "bp", "w16", "interpret")
+)
+def _match_full_sharded(seg_T, peq_pm, mesh, m, br, bp, w16, interpret):
+    from ..ops.match_pallas import match_full_tpu
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P(None, None)),
+        out_specs=P(None, "data"),
+        check_vma=False,
+    )
+    def step(seg_local, peq_full):
+        return match_full_tpu(
+            seg_local, peq_full, m, br=br, bp=bp, w16=w16, interpret=interpret
+        )
+
+    return step(seg_T, peq_pm)
+
+
+def shard_match_full(mesh, seg_T, peq_pm, m: int, br: int, bp: int,
+                     w16: bool = False, interpret: bool = False):
+    """Production fused min+ties kernel, reads sharded over 'data' (patterns
+    replicated: tie slots are global pattern ids collected against a running
+    min, which does not commute across pattern shards — the model axis must
+    be 1 for this kernel). seg_T: (Ls, R) with R % (n_data * br) == 0.
+    Returns the (TIES_K+2, R) device array WITHOUT syncing."""
+    assert mesh.shape["model"] == 1, mesh.shape
+    assert seg_T.shape[1] % (mesh.shape["data"] * br) == 0, (
+        seg_T.shape, mesh.shape, br
+    )
+    _count(mesh)
+    return _match_full_sharded(seg_T, peq_pm, mesh, m, br, bp, w16, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "m"))
+def _match_min_sharded(seg_T, peq, mesh, m):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -67,49 +152,150 @@ def dist_match_min(mesh: Mesh, seg_T, peq, m: int):
         check_vma=False,
     )
     def step(seg_local, peq_local):
-        d = match_block_min(seg_local, peq_local, m)  # (R_local,)
-        return jax.lax.pmin(d, "model")
+        pl_ = peq_local.shape[1]
+        blk = min(pl_, 4096)  # bound the (R_local x blk) lane footprint
+        best = jnp.full((seg_local.shape[1],), m, jnp.int32)
+        nfull = pl_ // blk
+        if nfull:
+            blocks = (
+                peq_local[:, : nfull * blk]
+                .reshape(5, nfull, blk)
+                .transpose(1, 0, 2)
+            )
+
+            def sbody(b, pq):
+                return jnp.minimum(b, match_block_min(seg_local, pq, m)), None
+
+            best, _ = jax.lax.scan(sbody, best, blocks)
+        if pl_ % blk:
+            best = jnp.minimum(
+                best, match_block_min(seg_local, peq_local[:, nfull * blk :], m)
+            )
+        return jax.lax.pmin(best, "model")
 
     return step(seg_T, peq)
 
 
-def dist_count_merge(mesh: Mesh, partial_counts):
-    """Stage-2 collective: per-device (K,) count vectors -> global sums.
+def shard_match_min(mesh, seg_T, peq, m: int):
+    """jnp pass-1 over the mesh: reads over 'data', patterns over 'model'
+    with a pmin merge (the TP analog of the reference's prefix-keyspace
+    shards, scTagger.py:688-716 — min is exact, so output is byte-identical
+    at any mesh shape). Caller pads: R % n_data == 0, P % n_model == 0,
+    pattern padding all-zero Peq columns (distance pins at m, never below
+    a real pattern). Returns the (R,) device array."""
+    assert seg_T.shape[1] % mesh.shape["data"] == 0, (seg_T.shape, mesh.shape)
+    assert peq.shape[1] % mesh.shape["model"] == 0, (peq.shape, mesh.shape)
+    _count(mesh)
+    return _match_min_sharded(seg_T, peq, mesh, m)
 
-    partial_counts: (n_data_shards, K) array laid out over 'data'."""
+
+# Back-compat alias (round-1 name; same TP layout, now production-reachable
+# through models/matcher.py's mesh path).
+dist_match_min = shard_match_min
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: adapter scan over the mesh
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "m", "l_total", "peq_tuple", "interpret")
+)
+def _adapter_scan_sharded(text, lens, mesh, m, l_total, peq_tuple, interpret):
+    from ..ops.adapter_pallas import _adapter_scan_call
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("data", None),),
-        out_specs=P(None, None),
+        in_specs=(P(None, "data"), P("data")),
+        out_specs=P(None, "data"),
         check_vma=False,
     )
-    def step(c):
-        return jax.lax.psum(c, "data")
+    def step(text_local, lens_local):
+        return _adapter_scan_call(
+            text_local, lens_local, m, l_total, peq_tuple, interpret=interpret
+        )
 
-    return step(partial_counts)[0]
+    return step(text, lens)
 
 
-def dist_histogram(mesh: Mesh, values, num_bins: int):
-    """Stage-1 collective: location histogram merged over the data axis.
+def shard_adapter_scan(mesh, text, lens, m: int, l_total: int, peq_tuple,
+                       interpret: bool = False):
+    """Production adapter-scan kernel, reads sharded over 'data'.
 
-    values: (n_data_shards, M) int32 bin ids in [0, num_bins) (use an
-    out-of-range id for padding slots)."""
+    text: (L, G, 128) int8, lens: (G, 128) int32, with G % (n_data * 8) == 0
+    (each shard keeps whole (8, 128) read tiles). Returns the
+    (N_OUT, G, 128) device array WITHOUT syncing."""
+    assert mesh.shape["model"] == 1, mesh.shape
+    assert text.shape[1] % (mesh.shape["data"] * 8) == 0, (
+        text.shape, mesh.shape
+    )
+    _count(mesh)
+    return _adapter_scan_sharded(text, lens, mesh, m, l_total, peq_tuple,
+                                 interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "m"))
+def _hw_block_sharded(text_T, peq2, lengths, mesh, m):
+    from ..models.adapter import _hw_block
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("data", None),),
+        in_specs=(P(None, "data"), P(None, None), P("data")),
+        out_specs=(P("data", None), P(None, "data", None)),
+        check_vma=False,
+    )
+    def step(text_local, peq_full, len_local):
+        return _hw_block(text_local, peq_full, len_local, m)
+
+    return step(text_T, peq2, lengths)
+
+
+def shard_hw_block(mesh, text_T, peq2, lengths, m: int):
+    """jnp stage-1 fallback over the mesh: (L, B) codes -> per-read dists
+    (B, 2) and argmin masks (L, B, 2), B sharded over 'data' (caller pads B
+    to a mesh multiple with zero-length reads, which come back as d1==d2==m
+    ties and are discarded)."""
+    assert text_T.shape[1] % mesh.shape["data"] == 0, (
+        text_T.shape, mesh.shape
+    )
+    _count(mesh)
+    return _hw_block_sharded(text_T, peq2, lengths, mesh, m)
+
+
+# ---------------------------------------------------------------------------
+# Cross-process collectives (multihost.HostGroup's jax transport)
+# ---------------------------------------------------------------------------
+
+
+def allreduce_processes(arr: np.ndarray, op: str, identity) -> np.ndarray:
+    """All-reduce one host ndarray across jax.distributed processes.
+
+    Builds a 1-D mesh over ALL global devices, places this process's value on
+    its first local device (identity elsewhere), and psum/pmin/pmax-merges.
+    ``identity`` is the op's neutral element for arr.dtype."""
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("data",))
+    ld = jax.local_device_count()
+    local = np.broadcast_to(identity, (ld, *arr.shape)).copy()
+    local[0] = arr
+    from jax.sharding import NamedSharding
+
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local, (len(devs), *arr.shape)
+    )
+    red = {"sum": jax.lax.psum, "min": jax.lax.pmin, "max": jax.lax.pmax}[op]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"),),
         out_specs=P(None),
         check_vma=False,
     )
-    def step(v):
-        ids = v.reshape(-1)
-        in_range = ((ids >= 0) & (ids < num_bins)).astype(jnp.int32)
-        hist = jnp.zeros((num_bins,), jnp.int32).at[ids].add(
-            in_range, mode="drop"
-        )
-        return jax.lax.psum(hist, "data")
+    def step(x):
+        return red(x, "data")
 
-    return step(values)
+    return np.asarray(jax.device_get(step(garr)))[0]

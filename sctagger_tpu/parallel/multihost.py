@@ -161,34 +161,9 @@ class HostGroup:
         return self._jax_allreduce_impl(arr, op)
 
     def _jax_allreduce_impl(self, arr: np.ndarray, op: str) -> np.ndarray:
-        import functools
+        from .mesh import allreduce_processes
 
-        import jax
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-        devs = jax.devices()
-        mesh = Mesh(np.array(devs), ("data",))
-        ld = jax.local_device_count()
-        ident = _IDENTITY[op](arr.dtype)
-        local = np.broadcast_to(ident, (ld, *arr.shape)).copy()
-        local[0] = arr
-        garr = jax.make_array_from_process_local_data(
-            NamedSharding(mesh, P("data")), local, (len(devs), *arr.shape)
-        )
-        red = {"sum": jax.lax.psum, "min": jax.lax.pmin, "max": jax.lax.pmax}[op]
-
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P("data"),),
-            out_specs=P(None),
-            check_vma=False,
-        )
-        def step(x):
-            return red(x, "data")
-
-        out = np.asarray(jax.device_get(step(garr)))
-        return out[0]
+        return allreduce_processes(arr, op, _IDENTITY[op](arr.dtype))
 
     # ---- output part merge ---------------------------------------------
 

@@ -37,7 +37,9 @@ def worker(pid: int) -> None:
     assert jax.process_count() == 2, jax.process_count()
     assert len(jax.devices()) == 8, len(jax.devices())
 
-    from sctagger_tpu.parallel import dist_count_merge, make_mesh
+    import functools
+
+    from sctagger_tpu.parallel import make_mesh
 
     mesh = make_mesh(8, model_parallel=1)
     # each process owns 4 of the 8 data shards; build the global array from
@@ -47,8 +49,16 @@ def worker(pid: int) -> None:
     sharding = NamedSharding(mesh, P("data", None))
     local = np.full((4, 16), pid + 1, dtype=np.int32)
     garr = jax.make_array_from_process_local_data(sharding, local, (8, 16))
-    merged = dist_count_merge(mesh, garr)
-    got = np.asarray(jax.device_get(merged))
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("data", None),), out_specs=P(None, None),
+        check_vma=False,
+    )
+    def psum_counts(c):
+        return jax.lax.psum(c, "data")
+
+    merged = psum_counts(garr)
+    got = np.asarray(jax.device_get(merged))[0]
     # 4 shards of 1s + 4 shards of 2s -> column sums 12
     assert (got == 12).all(), got
     print(f"[proc {pid}] multiprocess psum OK: {got[0]}", flush=True)
