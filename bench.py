@@ -65,6 +65,12 @@ def make_inputs(n_segs: int, n_barcodes: int = 25_000, seed: int = 0):
 
 
 def main():
+    if "--verify" in sys.argv[1:]:
+        # compiled-TPU parity gate: byte-compare TPU vs CPU stage outputs
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import tpu_parity
+
+        sys.exit(tpu_parity.main([a for a in sys.argv[1:] if a != "--verify"]))
     # default = 2 full device chunks: sliver chunks pad to the fixed kernel
     # shape, so a non-multiple would measure ~25% padding waste
     n_segs = int(os.environ.get("SCTAG_BENCH_SEGS", 262_144))

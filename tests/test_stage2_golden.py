@@ -106,3 +106,24 @@ def test_extract_sr_bc_parity(tmp_path, step):
     assert gzip.decompress(our_out.read_bytes()) == gzip.decompress(
         ref_out.read_bytes()
     )
+
+
+def test_bam_pysam_stub_matches_json_stub(tmp_path):
+    """The BAM-DECODING pysam stub (honest baseline measurement,
+    tools/measure_reference.py) drives the reference to the same output as
+    the JSON-sidecar stub."""
+    rng = np.random.default_rng(31)
+    path, *_ = _make_bam(tmp_path, rng, n_alns=2000)
+    out_a = tmp_path / "a.tsv.gz"
+    out_b = tmp_path / "b.tsv.gz"
+    run_reference(
+        ["extract_sr_bc", "-i", path, "-o", str(out_a), "-t", "1"],
+        tmp_path, functional_pysam=True,
+    )
+    run_reference(
+        ["extract_sr_bc", "-i", path, "-o", str(out_b), "-t", "1"],
+        tmp_path, bam_pysam=True,
+    )
+    a = gzip.open(out_a, "rb").read()
+    b = gzip.open(out_b, "rb").read()
+    assert a == b and len(a) > 0
