@@ -114,10 +114,58 @@ def main():
                         f"x{REF_THREADS} (ideal linear) for the Snakefile "
                         "32-thread envelope"
                     ),
+                    "stages": _stage_rates(),
                 },
             }
         )
     )
+
+
+def _stage_rates():
+    """Per-stage ours-vs-reference rates (VERDICT r1 #3), folded in from
+    BENCH_STAGES.json (ours, tools/bench_stages.py) and REF_MEASURED.json
+    (reference, tools/measure_reference.py) — both measured on this host
+    with identical fixtures and full-CLI-wall protocol."""
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _load(name):
+        p = os.path.join(here, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    ours = _load("BENCH_STAGES.json")
+    ref = _load("REF_MEASURED.json")
+    out = {}
+    for s in ("lr", "sr", "alt"):
+        if s not in ours:
+            continue
+        e = {
+            "value": ours[s]["value"],
+            "unit": ours[s]["unit"],
+            "wall_s": ours[s]["wall_s"],
+            "backend": ours[s].get("backend"),
+            "measured": ours[s].get("date"),
+        }
+        if s in ref:
+            if s == "lr":
+                # stage-1 envelope: 32 threads (Snakefile:84-87), ideal scaling
+                base = ref[s]["value"] * 32
+                e["baseline"] = f"{base:.0f} reads/s (native-Myers ref x32)"
+            elif s == "sr":
+                # htslib-class speed of light: single-stream BGZF inflate
+                base = ref[s]["inflate_alns_per_s"]
+                e["baseline"] = (
+                    f"{base:.0f} alns/s (single-stream zlib inflate bound)"
+                )
+            else:
+                # alt stage 2 is single-threaded in the reference
+                base = ref[s]["value"]
+                e["baseline"] = f"{base:.0f} rows/s (native-AC ref, 1 thread)"
+            e["vs_baseline"] = round(ours[s]["value"] / base, 2)
+        out[s] = e
+    return out
 
 
 if __name__ == "__main__":

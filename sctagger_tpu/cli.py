@@ -102,7 +102,7 @@ def parse_args(argv=None):
 
     # Additive multi-host surface (not in the reference): shard the input
     # records over N cooperating hosts; host 0 merges byte-identical output.
-    for sub in (p_lr, p_fl, p_mt):
+    for sub in (p_lr, p_sr, p_fl, p_mt):
         g = sub.add_argument_group("multi-host (additive)")
         g.add_argument("--n-hosts", type=int, default=1,
                        help="Total cooperating hosts. Default: 1")

@@ -62,3 +62,61 @@ def extract_cb_counts(path: str) -> tuple[list[str], np.ndarray, int]:
         lib.sctag_free(ctypes.cast(barcodes_p, ctypes.c_void_p))
         lib.sctag_free(ctypes.cast(counts_p, ctypes.c_void_p))
     return barcodes, counts, total.value
+
+
+def extract_cb_counts_range(
+    path: str, comp_start: int, comp_end: int, skip: int, parse_header: bool,
+    nthreads: int = 2,
+):
+    """Sharded scan for --n-hosts stage-2 execution: records starting in the
+    compressed byte range [comp_start, comp_end) after dropping ``skip``
+    spill bytes from the previous shard.
+
+    Returns (barcodes, counts, firsts, total, n_kept_bc, spill):
+    ``firsts[i]`` = first LOCAL kept-barcode record index of barcodes[i]
+    (callers add the earlier shards' kept counts to globalize);
+    ``spill`` = uncompressed bytes this shard's final record(s) consumed past
+    comp_end (the next shard's ``skip``)."""
+    lib = _get_lib()
+    barcodes_p = ctypes.c_char_p()
+    counts_p = ctypes.POINTER(ctypes.c_int64)()
+    firsts_p = ctypes.POINTER(ctypes.c_int64)()
+    n_unique = ctypes.c_int64()
+    total = ctypes.c_int64()
+    kept = ctypes.c_int64()
+    spill = ctypes.c_int64()
+    error_p = ctypes.c_char_p()
+    rc = lib.sctag_extract_cb_range(
+        path.encode(), comp_start, comp_end, skip,
+        1 if parse_header else 0, nthreads,
+        ctypes.byref(barcodes_p), ctypes.byref(counts_p),
+        ctypes.byref(firsts_p), ctypes.byref(n_unique), ctypes.byref(total),
+        ctypes.byref(kept), ctypes.byref(spill), ctypes.byref(error_p),
+    )
+    if rc != 0:
+        msg = (error_p.value or b"unknown error").decode()
+        lib.sctag_free(ctypes.cast(error_p, ctypes.c_void_p))
+        raise RuntimeError(f"BAM shard read failed for {path}: {msg}")
+    try:
+        raw = barcodes_p.value or b""
+        barcodes = raw.decode().split("\n")[:-1] if raw else []
+        n = n_unique.value
+        counts = np.ctypeslib.as_array(counts_p, shape=(n,)).copy() if n else (
+            np.empty(0, dtype=np.int64)
+        )
+        firsts = np.ctypeslib.as_array(firsts_p, shape=(n,)).copy() if n else (
+            np.empty(0, dtype=np.int64)
+        )
+    finally:
+        lib.sctag_free(ctypes.cast(barcodes_p, ctypes.c_void_p))
+        lib.sctag_free(ctypes.cast(counts_p, ctypes.c_void_p))
+        lib.sctag_free(ctypes.cast(firsts_p, ctypes.c_void_p))
+    return barcodes, counts, firsts, total.value, kept.value, spill.value
+
+
+def bam_file_size(path: str) -> int:
+    lib = _get_lib()
+    n = lib.sctag_file_size(path.encode())
+    if n < 0:
+        raise RuntimeError(f"cannot stat {path}")
+    return int(n)

@@ -1,5 +1,5 @@
 // TPU-native equivalent of the reference's pysam/htslib dependency
-// (scTagger.py:433-466): a minimal BGZF + BAM reader that streams a
+// (scTagger.py:433-466): a parallel BGZF + BAM reader that streams a
 // coordinate-sorted BAM and extracts CB aux tags with the reference's
 // filtering semantics:
 //   * keep records mapped to a contig (refID >= 0 — pysam fetch(contig)
@@ -9,57 +9,42 @@
 //   * barcode = CB tag value up to the first '-'; records whose prefix is
 //     "NA" (or with no CB tag) count toward the total but yield no barcode.
 //
-// Counting happens here (unordered_map) with first-appearance ordering
-// preserved, which reproduces the reference's Counter insertion order for a
-// sequential scan (its -t 1 behavior; with >1 thread the reference's
-// equal-count ordering is nondeterministic — SURVEY.md §7 hard parts).
+// BGZF members are independent deflate streams, so inflation parallelizes
+// across host threads (the reference decodes contigs in parallel via htslib
+// workers, scTagger.py:443-449): blocks are indexed by a header walk, then
+// inflated window-by-window with N threads (bounded memory for arbitrarily
+// large BAMs) with per-block CRC32 validation, and records are parsed from
+// the contiguous uncompressed windows by one thread.
+//
+// Multi-host sharding (stage drivers' --n-hosts): sctag_extract_cb_range
+// processes only the blocks whose compressed offset falls in
+// [comp_start, comp_end), skipping `skip` uncompressed bytes at the start
+// (the previous shard's record spill, exchanged through the HostGroup sync
+// dir) and reporting its own spill past comp_end. Inflation is fully
+// parallel across hosts; only the tiny spill handoff serializes.
+//
+// Counting preserves first-appearance order, which reproduces the
+// reference's Counter insertion order for a sequential scan (its -t 1
+// behavior; with >1 thread the reference's equal-count ordering is
+// nondeterministic — SURVEY.md §7 hard parts). Sharded scans additionally
+// report each barcode's first local record index so hosts can reconstruct
+// the exact global first-appearance order (stages/extract_sr_bc.py).
 //
 // Build: g++ -O2 -shared -fPIC bam_reader.cpp -o libsctag_io.so -lz
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
 #include <zlib.h>
 
 namespace {
-
-struct GzReader {
-    gzFile f = nullptr;
-    bool ok(const char* path) {
-        f = gzopen(path, "rb");
-        if (f) gzbuffer(f, 1 << 20);
-        return f != nullptr;
-    }
-    // read exactly n bytes; returns false on EOF/short read
-    bool read(void* dst, size_t n) {
-        size_t got = 0;
-        while (got < n) {
-            int r = gzread(f, static_cast<char*>(dst) + got,
-                           static_cast<unsigned>(n - got));
-            if (r <= 0) return false;
-            got += static_cast<size_t>(r);
-        }
-        return true;
-    }
-    bool skip(size_t n) {
-        return gzseek(f, static_cast<z_off_t>(n), SEEK_CUR) >= 0;
-    }
-    // zlib-level diagnostic for the last failure (e.g. "incorrect data
-    // check" = CRC mismatch; gzread validates each member's CRC32/ISIZE)
-    std::string zerr() const {
-        int code = Z_OK;
-        const char* msg = f ? gzerror(f, &code) : nullptr;
-        if (code == Z_OK || code == Z_STREAM_END) return "";
-        if (code == Z_ERRNO) return " (I/O error)";
-        return msg && *msg ? std::string(" (zlib: ") + msg + ")"
-                           : " (zlib error)";
-    }
-};
 
 // The 28-byte BGZF EOF marker every intact BGZF file ends with (SAM spec
 // §4.1.2). Its absence means the file was truncated mid-stream — htslib and
@@ -80,141 +65,399 @@ bool has_bgzf_eof(const char* path) {
     return ok;
 }
 
+struct BlockIdx {
+    int64_t coff;    // compressed offset of the member start
+    int32_t csize;   // whole member size (BSIZE + 1)
+    int32_t isize;   // uncompressed payload size
+};
+
+// Walk BGZF member headers (no inflation) to index every block.
+// A generic gzip file (no BC subfield) gets isize = -1 blocks, which the
+// engine rejects with a clear error (plain-gzip BAMs are not BGZF).
+int index_blocks(FILE* fp, std::vector<BlockIdx>& out, std::string& err) {
+    unsigned char hdr[12];
+    int64_t off = 0;
+    if (std::fseek(fp, 0, SEEK_SET) != 0) { err = "seek failed"; return 1; }
+    for (;;) {
+        size_t got = std::fread(hdr, 1, 12, fp);
+        if (got == 0) break;  // clean EOF
+        if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8) {
+            err = "corrupt BGZF stream (bad member header)";
+            return 1;
+        }
+        if (!(hdr[3] & 4)) {  // FEXTRA absent: not BGZF
+            err = "not BGZF (gzip member without extra field)";
+            return 1;
+        }
+        uint16_t xlen;
+        std::memcpy(&xlen, hdr + 10, 2);
+        std::vector<unsigned char> extra(xlen);
+        if (std::fread(extra.data(), 1, xlen, fp) != xlen) {
+            err = "truncated BGZF extra field";
+            return 1;
+        }
+        int32_t bsize = -1;
+        size_t j = 0;
+        while (j + 4 <= xlen) {
+            uint16_t slen;
+            std::memcpy(&slen, extra.data() + j + 2, 2);
+            if (extra[j] == 66 && extra[j + 1] == 67 && slen == 2) {
+                uint16_t bs;
+                std::memcpy(&bs, extra.data() + j + 4, 2);
+                bsize = (int32_t)bs + 1;
+            }
+            j += 4 + slen;
+        }
+        if (bsize < 0) {
+            err = "not BGZF (no BC subfield)";
+            return 1;
+        }
+        // ISIZE = last 4 bytes of the member
+        if (std::fseek(fp, off + bsize - 4, SEEK_SET) != 0) {
+            err = "truncated BGZF member";
+            return 1;
+        }
+        uint32_t isize;
+        if (std::fread(&isize, 1, 4, fp) != 4) {
+            err = "truncated BGZF member (no ISIZE)";
+            return 1;
+        }
+        out.push_back(BlockIdx{off, bsize, (int32_t)isize});
+        off += bsize;
+        if (std::fseek(fp, off, SEEK_SET) != 0) break;
+    }
+    return 0;
+}
+
+// Inflate blocks [b0, b1) of the index into `dst` (contiguous, sized by the
+// blocks' summed isize) using `nthreads` workers. Validates CRC32 + ISIZE.
+int inflate_window(FILE* fp, const std::vector<BlockIdx>& blocks, size_t b0,
+                   size_t b1, unsigned char* dst,
+                   const std::vector<int64_t>& dst_off, int nthreads,
+                   std::string& err) {
+    if (b0 >= b1) return 0;
+    // read the window's compressed bytes in one sequential pass
+    int64_t c0 = blocks[b0].coff;
+    int64_t c1 = blocks[b1 - 1].coff + blocks[b1 - 1].csize;
+    std::vector<unsigned char> comp((size_t)(c1 - c0));
+    if (std::fseek(fp, c0, SEEK_SET) != 0 ||
+        std::fread(comp.data(), 1, comp.size(), fp) != comp.size()) {
+        err = "truncated BGZF stream (short read)";
+        return 1;
+    }
+    std::atomic<size_t> next(b0);
+    std::atomic<int> bad(0);
+    int nw = nthreads < 1 ? 1 : nthreads;
+    if ((size_t)nw > b1 - b0) nw = (int)(b1 - b0);
+    std::vector<std::string> errs(nw);
+    auto worker = [&](int wid) {
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) { bad = 1; return; }
+        for (;;) {
+            size_t b = next.fetch_add(1);
+            if (b >= b1 || bad.load()) break;
+            const BlockIdx& blk = blocks[b];
+            const unsigned char* src = comp.data() + (blk.coff - c0);
+            // locate the deflate payload: fixed 12B header + XLEN
+            uint16_t xlen;
+            std::memcpy(&xlen, src + 10, 2);
+            const unsigned char* payload = src + 12 + xlen;
+            size_t paylen = (size_t)blk.csize - 12 - xlen - 8;
+            unsigned char* out = dst + dst_off[b - b0];
+            inflateReset(&zs);
+            zs.next_in = const_cast<unsigned char*>(payload);
+            zs.avail_in = (uInt)paylen;
+            zs.next_out = out;
+            zs.avail_out = (uInt)blk.isize;
+            int rc = inflate(&zs, Z_FINISH);
+            if (!((rc == Z_STREAM_END && zs.avail_out == 0) ||
+                  (blk.isize == 0 && (rc == Z_STREAM_END || rc == Z_BUF_ERROR)))) {
+                errs[wid] = "corrupt BGZF block (inflate failed)";
+                bad = 1;
+                break;
+            }
+            uint32_t want_crc;
+            std::memcpy(&want_crc, src + blk.csize - 8, 4);
+            uint32_t got_crc =
+                crc32(crc32(0, nullptr, 0), out, (uInt)blk.isize);
+            if (got_crc != want_crc) {
+                errs[wid] = "corrupt BGZF block (CRC32 mismatch)";
+                bad = 1;
+                break;
+            }
+        }
+        inflateEnd(&zs);
+    };
+    std::vector<std::thread> pool;
+    for (int w = 1; w < nw; w++) pool.emplace_back(worker, w);
+    worker(0);
+    for (auto& t : pool) t.join();
+    if (bad.load()) {
+        err = "corrupt BGZF stream";
+        for (const auto& e : errs)
+            if (!e.empty()) { err = e; break; }
+        return 1;
+    }
+    return 0;
+}
+
 struct Result {
-    std::string barcodes;        // newline-joined, first-appearance order
-    std::vector<int64_t> counts; // parallel to barcodes
-    int64_t total = 0;           // kept (mapped, flag<=256) records
+    std::string barcodes;         // newline-joined, first-appearance order
+    std::vector<int64_t> counts;  // parallel to barcodes
+    std::vector<int64_t> firsts;  // first local kept-barcode index
+    int64_t total = 0;            // kept (mapped, flag<=256) records
+    int64_t spill = 0;            // bytes consumed past comp_end
     std::string error;
 };
 
-int parse_bam(const char* path, Result& out) {
-    if (!has_bgzf_eof(path)) {
+// Streaming view over the shard's uncompressed bytes: window-batched
+// parallel inflation + a carry buffer for records crossing windows.
+// Blocks [start, end_block) are the shard's OWN blocks (parallel inflate);
+// blocks past end_block are continuation blocks, inflated one at a time
+// only when the shard's final record spills across the boundary.
+struct ShardStream {
+    FILE* fp;
+    const std::vector<BlockIdx>* blocks;
+    size_t next_block, end_block, n_blocks;
+    int nthreads;
+    std::vector<unsigned char> buf;
+    size_t pos = 0;  // read cursor in buf
+    std::string err;
+    static const size_t kWindowBytes = 64u << 20;  // uncompressed per window
+
+    // Refill: keep unread tail, append the next window. Returns false at
+    // stream end or error.
+    bool refill() {
+        buf.erase(buf.begin(), buf.begin() + (ptrdiff_t)pos);
+        pos = 0;
+        if (next_block >= n_blocks) return false;
+        bool cont = next_block >= end_block;
+        size_t limit = cont ? next_block + 1 : end_block;
+        size_t b0 = next_block;
+        size_t b1 = b0;
+        size_t bytes = 0;
+        std::vector<int64_t> offs;
+        while (b1 < limit && bytes < kWindowBytes) {
+            offs.push_back((int64_t)bytes);
+            bytes += (size_t)(*blocks)[b1].isize;
+            b1++;
+        }
+        if (b1 == b0) return false;
+        size_t old = buf.size();
+        buf.resize(old + bytes);
+        if (inflate_window(fp, *blocks, b0, b1, buf.data() + old, offs,
+                           cont ? 1 : nthreads, err))
+            return false;
+        next_block = b1;
+        return true;
+    }
+
+    // Ensure >= n unread bytes available; false on EOF/error.
+    bool want(size_t n) {
+        while (buf.size() - pos < n) {
+            if (!refill()) return false;
+        }
+        return true;
+    }
+};
+
+void parse_record(const unsigned char* p, size_t block_size, Result& out,
+                  std::unordered_map<std::string, size_t>& index,
+                  std::vector<std::string>& order, int64_t& kept_bc) {
+    int32_t ref_id;
+    std::memcpy(&ref_id, p, 4);
+    uint8_t l_read_name = p[8];
+    uint16_t n_cigar_op;
+    std::memcpy(&n_cigar_op, p + 12, 2);
+    uint16_t flag;
+    std::memcpy(&flag, p + 14, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, p + 16, 4);
+
+    if (ref_id < 0) return;  // unmapped: pysam fetch(contig) never sees it
+    if (flag > 256) return;  // reference scTagger.py:458
+    out.total++;
+
+    const char* rec = reinterpret_cast<const char*>(p);
+    size_t aux = 32 + l_read_name + 4ull * n_cigar_op +
+                 (static_cast<size_t>(l_seq) + 1) / 2 +
+                 static_cast<size_t>(l_seq);
+    const size_t end = block_size;
+    const char* cb = nullptr;
+    size_t cb_len = 0;
+    while (aux + 3 <= end) {
+        char t0 = rec[aux], t1 = rec[aux + 1];
+        char type = rec[aux + 2];
+        aux += 3;
+        size_t vlen = 0;
+        switch (type) {
+            case 'A': case 'c': case 'C': vlen = 1; break;
+            case 's': case 'S': vlen = 2; break;
+            case 'i': case 'I': case 'f': vlen = 4; break;
+            case 'Z': case 'H': {
+                size_t s = aux;
+                while (aux < end && rec[aux] != '\0') aux++;
+                if (t0 == 'C' && t1 == 'B') {
+                    cb = rec + s;
+                    cb_len = aux - s;
+                }
+                aux++;  // NUL
+                continue;
+            }
+            case 'B': {
+                if (aux + 5 > end) { aux = end; continue; }
+                char sub = rec[aux];
+                int32_t cnt;
+                std::memcpy(&cnt, rec + aux + 1, 4);
+                size_t esz = (sub == 'c' || sub == 'C') ? 1
+                           : (sub == 's' || sub == 'S') ? 2 : 4;
+                aux += 5 + esz * static_cast<size_t>(cnt);
+                continue;
+            }
+            default:
+                aux = end;  // unknown type: stop scanning this record
+                continue;
+        }
+        aux += vlen;
+    }
+    if (cb == nullptr) return;  // no CB: total counted, no barcode
+    size_t dash = 0;
+    while (dash < cb_len && cb[dash] != '-') dash++;
+    if (dash == 2 && cb[0] == 'N' && cb[1] == 'A') return;
+    std::string bc(cb, dash);
+    auto it = index.find(bc);
+    if (it == index.end()) {
+        index.emplace(bc, order.size());
+        order.push_back(bc);
+        out.counts.push_back(1);
+        out.firsts.push_back(kept_bc);
+    } else {
+        out.counts[it->second]++;
+    }
+    kept_bc++;
+}
+
+// Core engine. comp_end < 0 => whole file. parse_header: this shard starts
+// at the BAM header (host 0 / single host). skip: uncompressed bytes to
+// drop first (previous shard's spill).
+int extract_range(const char* path, int64_t comp_start, int64_t comp_end,
+                  int64_t skip, bool parse_header, int nthreads,
+                  Result& out) {
+    if (parse_header && !has_bgzf_eof(path)) {
         std::fprintf(stderr,
                      "[sctag_io] warning: no BGZF EOF marker in %s; "
                      "the file may be truncated\n", path);
     }
-    GzReader gz;
-    if (!gz.ok(path)) {
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) {
         out.error = "cannot open file";
         return 1;
     }
-    char magic[4];
-    if (!gz.read(magic, 4) || std::memcmp(magic, "BAM\x01", 4) != 0) {
-        out.error = "not a BAM file (bad magic)";
+    std::vector<BlockIdx> blocks;
+    if (index_blocks(fp, blocks, out.error)) {
+        std::fclose(fp);
         return 1;
     }
-    int32_t l_text;
-    if (!gz.read(&l_text, 4)) return 1;
-    if (!gz.skip(static_cast<size_t>(l_text))) return 1;
-    int32_t n_ref;
-    if (!gz.read(&n_ref, 4)) return 1;
-    for (int32_t i = 0; i < n_ref; i++) {
-        int32_t l_name;
-        if (!gz.read(&l_name, 4)) return 1;
-        if (!gz.skip(static_cast<size_t>(l_name) + 4)) return 1;
+    ShardStream st;
+    st.fp = fp;
+    st.blocks = &blocks;
+    st.n_blocks = blocks.size();
+    st.nthreads = nthreads < 1 ? 1 : nthreads;
+    // map the compressed range to block indices
+    size_t b = 0;
+    while (b < blocks.size() && blocks[b].coff < comp_start) b++;
+    st.next_block = b;
+    if (comp_end < 0) {
+        st.end_block = blocks.size();
+    } else {
+        size_t e = b;
+        while (e < blocks.size() && blocks[e].coff < comp_end) e++;
+        st.end_block = e;
     }
+
+    // the shard owns records whose START offset (in the shard-local
+    // uncompressed stream, counting from its first own block) is < own_end;
+    // spill = bytes its final record(s) consume past own_end
+    int64_t own_end = 0;
+    for (size_t i = st.next_block; i < st.end_block; i++)
+        own_end += blocks[i].isize;
+    int64_t consumed = 0;
 
     std::unordered_map<std::string, size_t> index;
     std::vector<std::string> order;
-    std::vector<int64_t> counts;
-    std::vector<char> rec;
+    int64_t kept_bc = 0;
 
-    for (;;) {
-        int32_t block_size;
-        if (!gz.read(&block_size, 4)) {
-            std::string z = gz.zerr();
-            if (!z.empty()) {  // e.g. CRC mismatch mid-stream, not clean EOF
-                out.error = "corrupt BGZF stream" + z;
-                return 1;
-            }
-            break;  // clean EOF
+    if (parse_header) {
+        if (!st.want(12)) {
+            out.error = out.error.empty() ? st.err : out.error;
+            if (out.error.empty()) out.error = "not a BAM file (empty)";
+            std::fclose(fp);
+            return 1;
         }
+        if (std::memcmp(st.buf.data() + st.pos, "BAM\x01", 4) != 0) {
+            out.error = "not a BAM file (bad magic)";
+            std::fclose(fp);
+            return 1;
+        }
+        int32_t l_text;
+        std::memcpy(&l_text, st.buf.data() + st.pos + 4, 4);
+        if (!st.want(12 + (size_t)l_text)) {
+            out.error = "truncated BAM header";
+            std::fclose(fp);
+            return 1;
+        }
+        int32_t n_ref;
+        std::memcpy(&n_ref, st.buf.data() + st.pos + 8 + l_text, 4);
+        st.pos += 12 + (size_t)l_text;
+        consumed += 12 + (int64_t)l_text;
+        for (int32_t i = 0; i < n_ref; i++) {
+            if (!st.want(4)) { out.error = "truncated BAM header"; std::fclose(fp); return 1; }
+            int32_t l_name;
+            std::memcpy(&l_name, st.buf.data() + st.pos, 4);
+            if (!st.want(8 + (size_t)l_name)) { out.error = "truncated BAM header"; std::fclose(fp); return 1; }
+            st.pos += 8 + (size_t)l_name;
+            consumed += 8 + (int64_t)l_name;
+        }
+    } else if (skip > 0) {
+        // drop the previous shard's spill; a skip larger than this shard
+        // (a record bigger than the whole shard) just forwards the excess
+        if (st.want((size_t)skip)) st.pos += (size_t)skip;
+        else if (!st.err.empty()) { out.error = st.err; std::fclose(fp); return 1; }
+        consumed += skip;
+    }
+
+    while (consumed < own_end) {
+        if (!st.want(4)) {
+            if (!st.err.empty()) { out.error = st.err; std::fclose(fp); return 1; }
+            break;  // clean end of stream
+        }
+        int32_t block_size;
+        std::memcpy(&block_size, st.buf.data() + st.pos, 4);
         if (block_size < 32) {
             out.error = "corrupt record (block_size too small)";
+            std::fclose(fp);
             return 1;
         }
-        rec.resize(static_cast<size_t>(block_size));
-        if (!gz.read(rec.data(), rec.size())) {
-            out.error = "truncated record" + gz.zerr();
+        if (!st.want(4 + (size_t)block_size)) {
+            if (!st.err.empty()) { out.error = st.err; std::fclose(fp); return 1; }
+            out.error = "truncated record";
+            std::fclose(fp);
             return 1;
         }
-        const uint8_t* p = reinterpret_cast<const uint8_t*>(rec.data());
-        int32_t ref_id;
-        std::memcpy(&ref_id, p, 4);
-        uint8_t l_read_name = p[8];
-        uint16_t n_cigar_op;
-        std::memcpy(&n_cigar_op, p + 12, 2);
-        uint16_t flag;
-        std::memcpy(&flag, p + 14, 2);
-        int32_t l_seq;
-        std::memcpy(&l_seq, p + 16, 4);
-
-        if (ref_id < 0) continue;   // unmapped: pysam fetch(contig) never sees it
-        if (flag > 256) continue;   // reference scTagger.py:458
-        out.total++;
-
-        size_t aux = 32 + l_read_name + 4ull * n_cigar_op +
-                     (static_cast<size_t>(l_seq) + 1) / 2 +
-                     static_cast<size_t>(l_seq);
-        const size_t end = rec.size();
-        const char* cb = nullptr;
-        size_t cb_len = 0;
-        while (aux + 3 <= end) {
-            char t0 = rec[aux], t1 = rec[aux + 1];
-            char type = rec[aux + 2];
-            aux += 3;
-            size_t vlen = 0;
-            switch (type) {
-                case 'A': case 'c': case 'C': vlen = 1; break;
-                case 's': case 'S': vlen = 2; break;
-                case 'i': case 'I': case 'f': vlen = 4; break;
-                case 'Z': case 'H': {
-                    size_t s = aux;
-                    while (aux < end && rec[aux] != '\0') aux++;
-                    if (t0 == 'C' && t1 == 'B') {
-                        cb = rec.data() + s;
-                        cb_len = aux - s;
-                    }
-                    aux++;  // NUL
-                    continue;
-                }
-                case 'B': {
-                    if (aux + 5 > end) { aux = end; continue; }
-                    char sub = rec[aux];
-                    int32_t cnt;
-                    std::memcpy(&cnt, rec.data() + aux + 1, 4);
-                    size_t esz = (sub == 'c' || sub == 'C') ? 1
-                               : (sub == 's' || sub == 'S') ? 2 : 4;
-                    aux += 5 + esz * static_cast<size_t>(cnt);
-                    continue;
-                }
-                default:
-                    aux = end;  // unknown type: stop scanning this record
-                    continue;
-            }
-            if (t0 == 'C' && t1 == 'B' && type == 'Z') { /* unreachable */ }
-            aux += vlen;
-        }
-        if (cb == nullptr) continue;  // no CB: total counted, no barcode
-        size_t dash = 0;
-        while (dash < cb_len && cb[dash] != '-') dash++;
-        if (dash == 2 && cb[0] == 'N' && cb[1] == 'A') continue;
-        std::string bc(cb, dash);
-        auto it = index.find(bc);
-        if (it == index.end()) {
-            index.emplace(bc, order.size());
-            order.push_back(bc);
-            counts.push_back(1);
-        } else {
-            counts[it->second]++;
-        }
+        parse_record(st.buf.data() + st.pos + 4, (size_t)block_size, out,
+                     index, order, kept_bc);
+        st.pos += 4 + (size_t)block_size;
+        consumed += 4 + (int64_t)block_size;
     }
+    // spill = bytes this shard's records consumed past its own blocks
+    out.spill = consumed > own_end ? consumed - own_end : 0;
 
     for (size_t i = 0; i < order.size(); i++) {
         out.barcodes += order[i];
         out.barcodes += '\n';
     }
-    out.counts = std::move(counts);
+    std::fclose(fp);
     return 0;
 }
 
@@ -222,13 +465,15 @@ int parse_bam(const char* path, Result& out) {
 
 extern "C" {
 
-// Returns 0 on success. Caller must free via sctag_free_result.
+// Returns 0 on success. Caller must free via sctag_free.
 // On success: *barcodes = newline-joined unique barcodes (first-appearance
 // order), *counts = int64 array (len *n_unique), *total = kept records.
 int sctag_extract_cb(const char* path, char** barcodes, int64_t** counts,
                      int64_t* n_unique, int64_t* total, char** error) {
     Result r;
-    int rc = parse_bam(path, r);
+    const char* nt = std::getenv("SCTAG_BAM_THREADS");
+    int rc = extract_range(path, 0, -1, 0, /*parse_header=*/true,
+                           nt ? std::atoi(nt) : 2, r);
     *error = nullptr;
     if (rc != 0) {
         *error = static_cast<char*>(std::malloc(r.error.size() + 1));
@@ -247,6 +492,61 @@ int sctag_extract_cb(const char* path, char** barcodes, int64_t** counts,
     *n_unique = static_cast<int64_t>(r.counts.size());
     *total = r.total;
     return 0;
+}
+
+// Sharded scan for --n-hosts execution (stages/extract_sr_bc.py): process
+// records starting in compressed range [comp_start, comp_end) after
+// dropping `skip` spill bytes from the previous shard. Additionally
+// returns each barcode's FIRST local kept-barcode index (*firsts) and the
+// local kept-barcode record count (*n_kept_bc) so hosts can reconstruct the
+// global first-appearance order, plus *spill for the next shard.
+// parse_header must be 1 for the shard containing offset 0.
+int sctag_extract_cb_range(const char* path, int64_t comp_start,
+                           int64_t comp_end, int64_t skip, int parse_header,
+                           int nthreads, char** barcodes, int64_t** counts,
+                           int64_t** firsts, int64_t* n_unique,
+                           int64_t* total, int64_t* n_kept_bc,
+                           int64_t* spill, char** error) {
+    Result r;
+    int rc = extract_range(path, comp_start, comp_end, skip,
+                           parse_header != 0, nthreads, r);
+    *error = nullptr;
+    if (rc != 0) {
+        *error = static_cast<char*>(std::malloc(r.error.size() + 1));
+        std::memcpy(*error, r.error.c_str(), r.error.size() + 1);
+        *barcodes = nullptr;
+        *counts = nullptr;
+        *firsts = nullptr;
+        *n_unique = 0;
+        *total = 0;
+        *n_kept_bc = 0;
+        *spill = 0;
+        return rc;
+    }
+    *barcodes = static_cast<char*>(std::malloc(r.barcodes.size() + 1));
+    std::memcpy(*barcodes, r.barcodes.c_str(), r.barcodes.size() + 1);
+    size_t n = r.counts.size();
+    *counts = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * (n ? n : 1)));
+    std::memcpy(*counts, r.counts.data(), sizeof(int64_t) * n);
+    *firsts = static_cast<int64_t*>(std::malloc(sizeof(int64_t) * (n ? n : 1)));
+    std::memcpy(*firsts, r.firsts.data(), sizeof(int64_t) * n);
+    *n_unique = static_cast<int64_t>(n);
+    *total = r.total;
+    int64_t kept = 0;
+    for (size_t i = 0; i < n; i++) kept += r.counts[i];
+    *n_kept_bc = kept;
+    *spill = r.spill;
+    return 0;
+}
+
+// Compressed file size aligned helper: hosts shard [0, size) byte ranges.
+int64_t sctag_file_size(const char* path) {
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) return -1;
+    std::fseek(fp, 0, SEEK_END);
+    int64_t n = std::ftell(fp);
+    std::fclose(fp);
+    return n;
 }
 
 void sctag_free(void* p) { std::free(p); }

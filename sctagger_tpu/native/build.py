@@ -89,6 +89,25 @@ def load():
         ctypes.c_void_p,  # tkeys out
         ctypes.c_void_p,  # tvals out (pre-filled with INT32_MIN)
     ]
+    lib.sctag_extract_cb_range.restype = ctypes.c_int
+    lib.sctag_extract_cb_range.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,                     # comp_start
+        ctypes.c_int64,                     # comp_end (-1 = EOF)
+        ctypes.c_int64,                     # skip (prev shard's spill)
+        ctypes.c_int,                       # parse_header
+        ctypes.c_int,                       # nthreads
+        ctypes.POINTER(ctypes.c_char_p),    # barcodes
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),  # counts
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),  # firsts
+        ctypes.POINTER(ctypes.c_int64),     # n_unique
+        ctypes.POINTER(ctypes.c_int64),     # total
+        ctypes.POINTER(ctypes.c_int64),     # n_kept_bc
+        ctypes.POINTER(ctypes.c_int64),     # spill
+        ctypes.POINTER(ctypes.c_char_p),    # error
+    ]
+    lib.sctag_file_size.restype = ctypes.c_int64
+    lib.sctag_file_size.argtypes = [ctypes.c_char_p]
     lib.sctag_free.restype = None
     lib.sctag_free.argtypes = [ctypes.c_void_p]
     return lib

@@ -165,6 +165,32 @@ class HostGroup:
 
         return allreduce_processes(arr, op, _IDENTITY[op](arr.dtype))
 
+    # ---- point-to-point byte blobs (shared FS, any transport) -----------
+    # Small metadata handoffs (e.g. the BAM shard spill chain and the
+    # variable-size stage-2 gather) always ride the sync dir: the output
+    # part merge already requires a shared FS, and blob sizes are tiny
+    # relative to the stage inputs.
+
+    def put_bytes(self, tag: str, data: bytes) -> None:
+        self.sync_dir.mkdir(parents=True, exist_ok=True)
+        path = self.sync_dir / f"{tag}.blob"
+        tmp = path.with_name(path.name + f".tmp{os.getpid()}")
+        tmp.write_bytes(data)
+        os.replace(tmp, path)
+
+    def get_bytes(self, tag: str) -> bytes:
+        path = self.sync_dir / f"{tag}.blob"
+        self._wait_for(path)
+        return path.read_bytes()
+
+    def gather_bytes(self, tag: str, data: bytes) -> list[bytes] | None:
+        """Gather one blob per host; host 0 returns them ordered by host id,
+        other hosts return None."""
+        self.put_bytes(f"{tag}.h{self.host_id}", data)
+        if self.host_id != 0:
+            return None
+        return [self.get_bytes(f"{tag}.h{h}") for h in range(self.n_hosts)]
+
     # ---- output part merge ---------------------------------------------
 
     def part_path(self, outfile: str, host_id: int | None = None) -> str:

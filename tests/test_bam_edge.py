@@ -109,3 +109,90 @@ def test_missing_eof_marker_warns_but_parses(tmp_path, capfd):
     barcodes, counts, total = extract_cb_counts(path)
     assert barcodes == ["GGGG"] and total == 1
     assert "BGZF EOF marker" in capfd.readouterr().err
+
+
+def test_extract_cb_range_shard_chain(tmp_path):
+    """Sharded scan: chaining arbitrary byte-range shards through the spill
+    handoff reproduces the full sequential scan exactly (counts, totals, and
+    global first-appearance order)."""
+    import numpy as np
+
+    from sctagger_tpu.io.bam import (
+        bam_file_size,
+        extract_cb_counts,
+        extract_cb_counts_range,
+    )
+
+    from bamgen import write_bam
+    from oracle import random_dna
+
+    rng = np.random.default_rng(77)
+    pool = [random_dna(rng, 16) for _ in range(60)]
+    contigs = ["c1", "c2"]
+    alns = {c: [] for c in contigs}
+    for i in range(8000):
+        c = contigs[i % 2]
+        flag = int(rng.choice([0, 16, 256, 272, 1024], p=[0.4, 0.4, 0.1, 0.05, 0.05]))
+        tags = [["CB", pool[int(rng.integers(60))] + "-1"]] if rng.random() > 0.05 else []
+        alns[c].append({
+            "flag": flag, "name": f"q{i}", "pos": i,
+            "tags": tags, "seq": random_dna(rng, 24),
+        })
+    path = str(tmp_path / "big.bam")
+    write_bam(path, contigs, alns)
+
+    want_bc, want_counts, want_total = extract_cb_counts(path)
+    size = bam_file_size(path)
+    assert size > 120_000, size  # must span several BGZF blocks
+
+    for n_shards in (2, 3, 5):
+        bounds = [size * i // n_shards for i in range(n_shards + 1)]
+        skip = 0
+        agg = {}
+        total = 0
+        kept_off = 0
+        for h in range(n_shards):
+            bcs, counts, firsts, t, kept, spill = extract_cb_counts_range(
+                path, bounds[h], bounds[h + 1], skip, parse_header=(h == 0),
+            )
+            total += t
+            for b, c, f in zip(bcs, counts, firsts):
+                g = kept_off + int(f)
+                if b not in agg:
+                    agg[b] = [int(c), g]
+                else:
+                    agg[b][0] += int(c)
+                    agg[b][1] = min(agg[b][1], g)
+            kept_off += kept
+            skip = spill
+        assert skip == 0  # last shard never spills
+        assert total == want_total
+        ranked = sorted(agg.items(), key=lambda kv: kv[1][1])
+        assert [b for b, _ in ranked] == want_bc
+        assert [v[0] for _, v in ranked] == list(want_counts)
+
+
+def test_bam_crc_mismatch_detected(tmp_path):
+    """A flipped payload byte must surface as a CRC diagnostic, not silent
+    corruption (ROADMAP: CRC validation in the BGZF reader)."""
+    import numpy as np
+    import pytest
+
+    from sctagger_tpu.io.bam import extract_cb_counts
+
+    from bamgen import write_bam
+    from oracle import random_dna
+
+    rng = np.random.default_rng(3)
+    alns = {"c1": [
+        {"flag": 0, "name": f"q{i}", "pos": i,
+         "tags": [["CB", random_dna(rng, 16)]], "seq": ""}
+        for i in range(200)
+    ]}
+    path = str(tmp_path / "crc.bam")
+    write_bam(path, ["c1"], alns)
+    data = bytearray(open(path, "rb").read())
+    data[len(data) // 2] ^= 0xFF  # corrupt a compressed payload byte
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(RuntimeError, match="corrupt BGZF|CRC32|inflate"):
+        extract_cb_counts(path)

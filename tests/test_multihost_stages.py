@@ -201,3 +201,32 @@ def test_extract_sr_bc_from_lr_multihost_extra_fields(fixtures, tmp_path):
     ], 2)
     assert _gz_bytes(multi) == _gz_bytes(single)
     assert len(_gz_bytes(single)) > 0
+
+
+@pytest.mark.parametrize("n_hosts", [2, 3])
+def test_extract_sr_bc_multihost(fixtures, tmp_path, n_hosts):
+    """Sharded BAM scan (spill chain + first-appearance merge) must write
+    byte-identical output to the single-host run."""
+    from bamgen import write_bam
+
+    rng = np.random.default_rng(55)
+    pool = [random_dna(rng, 16) for _ in range(50)]
+    contigs = ["c1", "c2"]
+    alns = {c: [] for c in contigs}
+    for i in range(6000):
+        c = contigs[i % 2]
+        flag = int(rng.choice([0, 16, 272], p=[0.5, 0.4, 0.1]))
+        tags = [["CB", pool[int(rng.integers(50))] + "-1"]]
+        alns[c].append({
+            "flag": flag, "name": f"q{i}", "pos": i, "tags": tags,
+            "seq": random_dna(rng, 20),
+        })
+    bam = str(tmp_path / "mh.bam")
+    write_bam(bam, contigs, alns)
+
+    single = tmp_path / "sr_single.tsv.gz"
+    _run_single(["extract_sr_bc", "-i", bam, "-o", str(single)])
+    multi = tmp_path / f"sr_multi{n_hosts}.tsv.gz"
+    _run_hosts(["extract_sr_bc", "-i", bam, "-o", str(multi)], n_hosts)
+    assert _gz_bytes(multi) == _gz_bytes(single)
+    assert len(_gz_bytes(single)) > 0

@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Measure OUR per-stage throughput with the same protocol as the reference
+side (tools/measure_reference.py): identical fixtures (same generators,
+sizes, seeds), full CLI subprocess walls including I/O.
+
+Device stages (lr, alt) run TWICE back-to-back and report the second wall:
+the first run warms the axon server-side compile cache so the measurement
+excludes remote-compile noise (CLAUDE.md), mirroring how the reference pays
+no JIT. Stage 2 (sr) is host C++ and runs once.
+
+Writes BENCH_STAGES.json; bench.py folds it (plus REF_MEASURED.json) into
+its per-stage vs_baseline detail.
+
+Usage:
+    python tools/bench_stages.py all
+    python tools/bench_stages.py lr -n 50000 --read-len 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+sys.path.insert(0, str(REPO / "tools"))
+
+OUT_JSON = REPO / "BENCH_STAGES.json"
+
+
+def _backend() -> str:
+    code = ("import jax; print(jax.default_backend())")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=_env(), timeout=600,
+    )
+    return out.stdout.strip() or "unknown"
+
+
+def _env() -> dict:
+    env = dict(os.environ)
+    env.pop("SCTAG_CHECKPOINT_DIR", None)
+    extra = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = f"{REPO}:{extra}" if extra else str(REPO)
+    return env
+
+
+def _run_cli(argv: list[str], timeout: float = 7200) -> float:
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m", "sctagger_tpu", *argv],
+        env=_env(), capture_output=True, text=True, timeout=timeout,
+        cwd=str(REPO),
+    )
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(proc.returncode)
+    return dt
+
+
+def _record(stage: str, entry: dict) -> None:
+    data = {}
+    if OUT_JSON.exists():
+        data = json.loads(OUT_JSON.read_text())
+    entry["date"] = time.strftime("%Y-%m-%d")
+    data[stage] = entry
+    OUT_JSON.write_text(json.dumps(data, indent=1) + "\n")
+    print(f"[{stage}] {json.dumps(entry)}")
+
+
+def bench_lr(n_reads: int, read_len: int) -> None:
+    from measure_reference import make_lr_fastq
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="sctag_ourlr_"))
+    total_bp = make_lr_fastq(tmp / "reads.fastq", n_reads, read_len)
+    argv = ["extract_lr_bc", "-r", str(tmp / "reads.fastq"),
+            "-o", str(tmp / "lr.tsv.gz")]
+    _run_cli(argv)  # warm the compile cache
+    dt = _run_cli(argv)
+    _record("lr", {
+        "value": round(n_reads / dt, 2),
+        "unit": "reads/s",
+        "mbp_per_s": round(total_bp / dt / 1e6, 2),
+        "n_reads": n_reads,
+        "mean_read_len": round(total_bp / n_reads),
+        "wall_s": round(dt, 1),
+        "backend": _backend(),
+    })
+
+
+def bench_sr(n_alns: int) -> None:
+    from measure_reference import make_sr_bam
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="sctag_oursr_"))
+    path = make_sr_bam(tmp, n_alns)
+    size_mb = os.path.getsize(path) / 1e6
+    dt = _run_cli(["extract_sr_bc", "-i", path, "-o", str(tmp / "out.tsv.gz"),
+                   "-t", "1"])
+    _record("sr", {
+        "value": round(n_alns / dt, 2),
+        "unit": "alignments/s",
+        "mb_per_s": round(size_mb / dt, 2),
+        "n_alignments": n_alns,
+        "bam_mb": round(size_mb, 1),
+        "wall_s": round(dt, 1),
+        "backend": "host-c++",
+    })
+
+
+def bench_alt(n_rows: int, n_whitelist: int) -> None:
+    from measure_reference import make_alt_fixture
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="sctag_ouralt_"))
+    n_wl = make_alt_fixture(tmp, n_rows, n_whitelist)
+    argv = ["extract_sr_bc_from_lr", "-i", str(tmp / "lr.tsv"),
+            "-wl", str(tmp / "wl.txt.gz"), "-o", str(tmp / "out.tsv.gz")]
+    _run_cli(argv)  # warm the compile cache
+    dt = _run_cli(argv)
+    _record("alt", {
+        "value": round(n_rows / dt, 2),
+        "unit": "rows/s",
+        "n_rows": n_rows,
+        "n_whitelist": n_wl,
+        "wall_s": round(dt, 1),
+        "backend": _backend(),
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("stage", choices=["lr", "sr", "alt", "all"],
+                    nargs="?", default="all")
+    ap.add_argument("-n", type=int, default=None)
+    ap.add_argument("--read-len", type=int, default=2000)
+    ap.add_argument("--whitelist", type=int, default=500_000)
+    a = ap.parse_args()
+    if a.stage in ("lr", "all"):
+        bench_lr(a.n or 50_000, a.read_len)
+    if a.stage in ("sr", "all"):
+        bench_sr(a.n or 2_000_000)
+    if a.stage in ("alt", "all"):
+        bench_alt(a.n or 1_000_000, a.whitelist)
+
+
+if __name__ == "__main__":
+    main()
