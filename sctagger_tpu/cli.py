@@ -185,10 +185,15 @@ def parse_range_strings(range_strs):
 
 
 def main(argv=None):
-    from .runtime import configure_jax
-
-    configure_jax()  # persistent compilation cache (axon compiles are slow)
     args = parse_args(argv)
+    # extract_sr_bc is pure host C++ (BGZF/BAM scan) — importing jax costs
+    # seconds of startup (axon plugin init) for nothing. Every other
+    # subcommand compiles device kernels, so configure the persistent
+    # compilation cache up front (axon compiles are slow).
+    if args.subcommand != "extract_sr_bc" or getattr(args, "coordinator", None):
+        from .runtime import configure_jax
+
+        configure_jax()
     print(args)
 
     if getattr(args, "coordinator", None) and getattr(args, "n_hosts", 1) > 1:

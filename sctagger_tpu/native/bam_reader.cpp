@@ -211,26 +211,103 @@ struct Result {
     std::string error;
 };
 
+// Open-addressing barcode counter keyed by raw bytes (no per-record
+// std::string allocation on the ~100ns/record hot path; unordered_map's
+// temporary-key find() was the parse bottleneck at >3M records/s).
+struct BcTable {
+    std::vector<int32_t> slots;      // index into order, -1 empty
+    std::vector<std::string> order;  // first-appearance
+    std::vector<int64_t> counts;
+    std::vector<int64_t> firsts;
+    size_t mask;
+
+    BcTable() : slots(1 << 16, -1), mask((1 << 16) - 1) {}
+
+    static uint64_t hash(const char* s, size_t n) {
+        uint64_t h = 1469598103934665603ull;  // FNV-1a
+        for (size_t i = 0; i < n; i++) {
+            h ^= (unsigned char)s[i];
+            h *= 1099511628211ull;
+        }
+        return h;
+    }
+
+    void grow() {
+        size_t ns = (mask + 1) * 2;
+        std::vector<int32_t> fresh(ns, -1);
+        for (int32_t idx : slots) {
+            if (idx < 0) continue;
+            const std::string& b = order[(size_t)idx];
+            size_t p = hash(b.data(), b.size()) & (ns - 1);
+            while (fresh[p] >= 0) p = (p + 1) & (ns - 1);
+            fresh[p] = idx;
+        }
+        slots.swap(fresh);
+        mask = ns - 1;
+    }
+
+    void add(const char* s, size_t n, int64_t first_idx) {
+        size_t p = hash(s, n) & mask;
+        for (;;) {
+            int32_t idx = slots[p];
+            if (idx < 0) {
+                if (order.size() * 2 > mask) {  // load factor 0.5
+                    grow();
+                    add(s, n, first_idx);
+                    return;
+                }
+                slots[p] = (int32_t)order.size();
+                order.emplace_back(s, n);
+                counts.push_back(1);
+                firsts.push_back(first_idx);
+                return;
+            }
+            const std::string& b = order[(size_t)idx];
+            if (b.size() == n && std::memcmp(b.data(), s, n) == 0) {
+                counts[(size_t)idx]++;
+                return;
+            }
+            p = (p + 1) & mask;
+        }
+    }
+};
+
 // Streaming view over the shard's uncompressed bytes: window-batched
 // parallel inflation + a carry buffer for records crossing windows.
 // Blocks [start, end_block) are the shard's OWN blocks (parallel inflate);
 // blocks past end_block are continuation blocks, inflated one at a time
 // only when the shard's final record spills across the boundary.
+//
+// Pipeline: a background prefetch thread inflates the NEXT window while the
+// (single-threaded) record walk consumes the current one, so both host
+// cores stay busy — inflate and parse overlap instead of alternating.
 struct ShardStream {
-    FILE* fp;
-    const std::vector<BlockIdx>* blocks;
-    size_t next_block, end_block, n_blocks;
-    int nthreads;
+    FILE* fp = nullptr;  // owned; prefetch thread reads it (serialized by
+                         // join-before-relaunch, never concurrent)
+    const std::vector<BlockIdx>* blocks = nullptr;
+    size_t next_block = 0, end_block = 0, n_blocks = 0;
+    int nthreads = 1;
     std::vector<unsigned char> buf;
     size_t pos = 0;  // read cursor in buf
     std::string err;
-    static const size_t kWindowBytes = 64u << 20;  // uncompressed per window
+    std::thread pre;
+    std::vector<unsigned char> pre_buf;
+    bool pre_ok = false;
+    std::string pre_err;
+    static const size_t kWindowBytes = 32u << 20;  // uncompressed per window
 
-    // Refill: keep unread tail, append the next window. Returns false at
-    // stream end or error.
-    bool refill() {
-        buf.erase(buf.begin(), buf.begin() + (ptrdiff_t)pos);
-        pos = 0;
+    ~ShardStream() {
+        shutdown();
+        if (fp) std::fclose(fp);
+    }
+
+    void shutdown() {
+        if (pre.joinable()) pre.join();
+    }
+
+    // Inflate the next window into dst; advances next_block.
+    // Returns false at stream end (perr empty) or error (perr set).
+    bool produce(std::vector<unsigned char>& dst, std::string& perr) {
         if (next_block >= n_blocks) return false;
         bool cont = next_block >= end_block;
         size_t limit = cont ? next_block + 1 : end_block;
@@ -244,12 +321,37 @@ struct ShardStream {
             b1++;
         }
         if (b1 == b0) return false;
-        size_t old = buf.size();
-        buf.resize(old + bytes);
-        if (inflate_window(fp, *blocks, b0, b1, buf.data() + old, offs,
-                           cont ? 1 : nthreads, err))
+        dst.resize(bytes);
+        if (inflate_window(fp, *blocks, b0, b1, dst.data(), offs,
+                           cont ? 1 : nthreads, perr))
             return false;
         next_block = b1;
+        return true;
+    }
+
+    // Refill: keep unread tail, append the next window (prefetched if one
+    // is in flight), then launch the next prefetch.
+    bool refill() {
+        buf.erase(buf.begin(), buf.begin() + (ptrdiff_t)pos);
+        pos = 0;
+        if (pre.joinable()) {
+            pre.join();
+            if (!pre_ok) {
+                if (!pre_err.empty()) err = pre_err;
+                return false;
+            }
+            buf.insert(buf.end(), pre_buf.begin(), pre_buf.end());
+            pre_buf.clear();
+        } else {
+            std::vector<unsigned char> w;
+            if (!produce(w, err)) return false;
+            buf.insert(buf.end(), w.begin(), w.end());
+        }
+        if (next_block < end_block) {  // prefetch own blocks only
+            pre_ok = false;
+            pre_err.clear();
+            pre = std::thread([this] { pre_ok = produce(pre_buf, pre_err); });
+        }
         return true;
     }
 
@@ -263,8 +365,7 @@ struct ShardStream {
 };
 
 void parse_record(const unsigned char* p, size_t block_size, Result& out,
-                  std::unordered_map<std::string, size_t>& index,
-                  std::vector<std::string>& order, int64_t& kept_bc) {
+                  BcTable& table, int64_t& kept_bc) {
     int32_t ref_id;
     std::memcpy(&ref_id, p, 4);
     uint8_t l_read_name = p[8];
@@ -325,16 +426,7 @@ void parse_record(const unsigned char* p, size_t block_size, Result& out,
     size_t dash = 0;
     while (dash < cb_len && cb[dash] != '-') dash++;
     if (dash == 2 && cb[0] == 'N' && cb[1] == 'A') return;
-    std::string bc(cb, dash);
-    auto it = index.find(bc);
-    if (it == index.end()) {
-        index.emplace(bc, order.size());
-        order.push_back(bc);
-        out.counts.push_back(1);
-        out.firsts.push_back(kept_bc);
-    } else {
-        out.counts[it->second]++;
-    }
+    table.add(cb, dash, kept_bc);
     kept_bc++;
 }
 
@@ -354,13 +446,12 @@ int extract_range(const char* path, int64_t comp_start, int64_t comp_end,
         out.error = "cannot open file";
         return 1;
     }
+    ShardStream st;
+    st.fp = fp;  // owned: closed (and prefetch joined) by the destructor
     std::vector<BlockIdx> blocks;
     if (index_blocks(fp, blocks, out.error)) {
-        std::fclose(fp);
         return 1;
     }
-    ShardStream st;
-    st.fp = fp;
     st.blocks = &blocks;
     st.n_blocks = blocks.size();
     st.nthreads = nthreads < 1 ? 1 : nthreads;
@@ -384,27 +475,23 @@ int extract_range(const char* path, int64_t comp_start, int64_t comp_end,
         own_end += blocks[i].isize;
     int64_t consumed = 0;
 
-    std::unordered_map<std::string, size_t> index;
-    std::vector<std::string> order;
+    BcTable table;
     int64_t kept_bc = 0;
 
     if (parse_header) {
         if (!st.want(12)) {
             out.error = out.error.empty() ? st.err : out.error;
             if (out.error.empty()) out.error = "not a BAM file (empty)";
-            std::fclose(fp);
             return 1;
         }
         if (std::memcmp(st.buf.data() + st.pos, "BAM\x01", 4) != 0) {
             out.error = "not a BAM file (bad magic)";
-            std::fclose(fp);
             return 1;
         }
         int32_t l_text;
         std::memcpy(&l_text, st.buf.data() + st.pos + 4, 4);
         if (!st.want(12 + (size_t)l_text)) {
             out.error = "truncated BAM header";
-            std::fclose(fp);
             return 1;
         }
         int32_t n_ref;
@@ -412,10 +499,10 @@ int extract_range(const char* path, int64_t comp_start, int64_t comp_end,
         st.pos += 12 + (size_t)l_text;
         consumed += 12 + (int64_t)l_text;
         for (int32_t i = 0; i < n_ref; i++) {
-            if (!st.want(4)) { out.error = "truncated BAM header"; std::fclose(fp); return 1; }
+            if (!st.want(4)) { out.error = "truncated BAM header"; return 1; }
             int32_t l_name;
             std::memcpy(&l_name, st.buf.data() + st.pos, 4);
-            if (!st.want(8 + (size_t)l_name)) { out.error = "truncated BAM header"; std::fclose(fp); return 1; }
+            if (!st.want(8 + (size_t)l_name)) { out.error = "truncated BAM header"; return 1; }
             st.pos += 8 + (size_t)l_name;
             consumed += 8 + (int64_t)l_name;
         }
@@ -423,41 +510,41 @@ int extract_range(const char* path, int64_t comp_start, int64_t comp_end,
         // drop the previous shard's spill; a skip larger than this shard
         // (a record bigger than the whole shard) just forwards the excess
         if (st.want((size_t)skip)) st.pos += (size_t)skip;
-        else if (!st.err.empty()) { out.error = st.err; std::fclose(fp); return 1; }
+        else if (!st.err.empty()) { out.error = st.err; return 1; }
         consumed += skip;
     }
 
     while (consumed < own_end) {
         if (!st.want(4)) {
-            if (!st.err.empty()) { out.error = st.err; std::fclose(fp); return 1; }
+            if (!st.err.empty()) { out.error = st.err; return 1; }
             break;  // clean end of stream
         }
         int32_t block_size;
         std::memcpy(&block_size, st.buf.data() + st.pos, 4);
         if (block_size < 32) {
             out.error = "corrupt record (block_size too small)";
-            std::fclose(fp);
             return 1;
         }
         if (!st.want(4 + (size_t)block_size)) {
-            if (!st.err.empty()) { out.error = st.err; std::fclose(fp); return 1; }
+            if (!st.err.empty()) { out.error = st.err; return 1; }
             out.error = "truncated record";
-            std::fclose(fp);
             return 1;
         }
         parse_record(st.buf.data() + st.pos + 4, (size_t)block_size, out,
-                     index, order, kept_bc);
+                     table, kept_bc);
         st.pos += 4 + (size_t)block_size;
         consumed += 4 + (int64_t)block_size;
     }
+    st.shutdown();
     // spill = bytes this shard's records consumed past its own blocks
     out.spill = consumed > own_end ? consumed - own_end : 0;
 
-    for (size_t i = 0; i < order.size(); i++) {
-        out.barcodes += order[i];
+    for (size_t i = 0; i < table.order.size(); i++) {
+        out.barcodes += table.order[i];
         out.barcodes += '\n';
     }
-    std::fclose(fp);
+    out.counts = std::move(table.counts);
+    out.firsts = std::move(table.firsts);
     return 0;
 }
 

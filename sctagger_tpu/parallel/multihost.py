@@ -54,10 +54,16 @@ _NP_REDUCE = {"sum": np.add, "min": np.minimum, "max": np.maximum}
 
 def jax_processes_match(n_hosts: int) -> bool:
     """True iff jax.distributed is initialized with one process per host."""
+    import sys as _sys
+
+    if n_hosts <= 1 or "jax" not in _sys.modules:
+        # jax never imported in this process => jax.distributed cannot be
+        # initialized; don't pay the import (host-only stages skip jax)
+        return False
     try:
         import jax
 
-        return n_hosts > 1 and jax.process_count() == n_hosts
+        return jax.process_count() == n_hosts
     except Exception:
         return False
 
