@@ -186,11 +186,19 @@ def parse_range_strings(range_strs):
 
 def main(argv=None):
     args = parse_args(argv)
-    # extract_sr_bc is pure host C++ (BGZF/BAM scan) — importing jax costs
-    # seconds of startup (axon plugin init) for nothing. Every other
-    # subcommand compiles device kernels, so configure the persistent
-    # compilation cache up front (axon compiles are slow).
-    if args.subcommand != "extract_sr_bc" or getattr(args, "coordinator", None):
+    # Host-only stages skip jax entirely — importing it costs seconds of
+    # startup for nothing: extract_sr_bc is pure host C++ (BGZF/BAM scan),
+    # and extract_sr_bc_from_lr defaults to the host hash probe
+    # (ops/exact_lookup.py). Every other subcommand compiles device kernels,
+    # so configure the persistent compilation cache up front (axon compiles
+    # are slow).
+    import os as _os
+
+    host_only = args.subcommand == "extract_sr_bc" or (
+        args.subcommand == "extract_sr_bc_from_lr"
+        and _os.environ.get("SCTAG_PROBE", "host") == "host"
+    )
+    if not host_only or getattr(args, "coordinator", None):
         from .runtime import configure_jax
 
         configure_jax()

@@ -16,6 +16,7 @@ _SRCS = [
     _DIR / "fastq_reader.cpp",
     _DIR / "tsv_reader.cpp",
     _DIR / "hash_table.cpp",
+    _DIR / "exact_probe.cpp",
 ]
 _LIB = _DIR / "libsctag_io.so"
 
@@ -88,6 +89,28 @@ def load():
         ctypes.c_int64,   # size (power of two)
         ctypes.c_void_p,  # tkeys out
         ctypes.c_void_p,  # tvals out (pre-filled with INT32_MIN)
+    ]
+    lib.sctag_probe_rows.restype = None
+    lib.sctag_probe_rows.argtypes = [
+        ctypes.c_void_p,  # seq_buf
+        ctypes.c_void_p,  # offs
+        ctypes.c_int64,   # n_rows
+        ctypes.c_void_p,  # tkeys
+        ctypes.c_void_p,  # tvals
+        ctypes.c_int64,   # tsize
+        ctypes.c_int,     # k
+        ctypes.c_int,     # nthreads
+        ctypes.c_void_p,  # out_counts
+        ctypes.c_void_p,  # out_single
+    ]
+    lib.sctag_gather_rows.restype = None
+    lib.sctag_gather_rows.argtypes = [
+        ctypes.c_void_p,  # seq_buf
+        ctypes.c_void_p,  # offs
+        ctypes.c_void_p,  # idx
+        ctypes.c_int64,   # n_idx
+        ctypes.c_void_p,  # out_buf
+        ctypes.c_void_p,  # out_offs
     ]
     lib.sctag_extract_cb_range.restype = ctypes.c_int
     lib.sctag_extract_cb_range.argtypes = [

@@ -193,4 +193,24 @@ void sctag_encode_rows(const char* seq_buf, const int64_t* offs,
     }
 }
 
+// Gather an arbitrary row subset into a compact buffer: out_buf gets the
+// selected rows' bytes back to back, out_offs ((n_idx+1) int64) their new
+// offsets. Caller pre-sizes out_buf to sum of selected lengths (numpy
+// zeros-backed so first-touch writes stay fast — see CLAUDE.md page-fault
+// cliff; the previous pure-numpy gather built ~600 MB of malloc-backed
+// index temporaries and took ~50 s for 1M rows).
+void sctag_gather_rows(const char* seq_buf, const int64_t* offs,
+                       const int64_t* idx, int64_t n_idx, char* out_buf,
+                       int64_t* out_offs) {
+    int64_t pos = 0;
+    out_offs[0] = 0;
+    for (int64_t i = 0; i < n_idx; i++) {
+        int64_t o0 = offs[idx[i]];
+        int64_t len = offs[idx[i] + 1] - o0;
+        std::memcpy(out_buf + pos, seq_buf + o0, (size_t)len);
+        pos += len;
+        out_offs[i + 1] = pos;
+    }
+}
+
 }  // extern "C"

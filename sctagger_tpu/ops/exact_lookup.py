@@ -194,8 +194,23 @@ def probe_segments(
     Hits are counted over every k-window (end positions ascending, matching
     A.iter order). Returns (counts (N,), single_val (N,)) where single_val is
     meaningful only when counts == 1.
+
+    Backend: HOST by default (native C++ hash probe, see exact_probe.cpp —
+    exact lookup is a memory-latency workload where an L2-resident table
+    beats device HBM gathers ~10x; VERDICT r1 #10 decision, measurements in
+    ROADMAP.md). SCTAG_PROBE=device forces the device binary-search path;
+    the host path also degrades to it if the native lib is unavailable.
     """
     n = len(segments)
+    if os.environ.get("SCTAG_PROBE", "host") == "host":
+        try:
+            return _probe_rows_host(segments, sorted_keys, values, k)
+        except Exception as e:
+            print(
+                f"host probe unavailable ({type(e).__name__}: {e}); "
+                "using the device probe",
+                file=sys.stderr,
+            )
     counts = np.zeros(n, dtype=np.int64)
     single_val = np.zeros(n, dtype=np.int64)
     sk = jnp.asarray(sorted_keys.view(np.uint32))
@@ -225,8 +240,25 @@ def probe_segments(
                 state["use_sortjoin"] = False
         return _probe(sk, vv, qk, qv)
     # one padded length for every chunk: a single compiled probe shape
-    # (each distinct shape costs a full remote compile on the axon backend)
+    # (each distinct shape costs a full remote compile on the axon backend).
+    # Dispatch is ASYNC: the host encodes/packs chunk i+1 while the device
+    # probes chunk i (bounded in-flight queue, like the match/scan drivers).
     L = max(int(seq_lengths(segments).max(initial=0)) if n else k, k)
+    MAX_INFLIGHT = 8
+    pending: list[tuple[int, int, object, object]] = []  # (s, real, hit, val)
+
+    def _drain(limit: int) -> None:
+        while len(pending) > limit:
+            s, real, hit_d, val_d = pending.pop(0)
+            hit = np.asarray(hit_d)
+            val = np.asarray(val_d, dtype=np.int64)
+            c = hit.sum(axis=1)[:real]
+            counts[s : s + real] = c
+            # single-hit value: sum over the row works when exactly 1 hit
+            single_val[s : s + real] = np.where(
+                c == 1, (val * hit).sum(axis=1)[:real], 0
+            )
+
     for s in range(0, n, chunk):
         idx = np.arange(s, min(s + chunk, n), dtype=np.int64)
         codes, lens = encode_rows(segments, idx, pad_to=L, table=STRICT_TABLE)
@@ -239,19 +271,59 @@ def probe_segments(
         qkeys, qvalid = pack_kmers_from_codes(codes, lens, k)
         if qkeys.size == 0:
             continue
-        hit, val = probe(
+        hit_d, val_d = probe(
             jnp.asarray(qkeys.view(np.uint32)), jnp.asarray(qvalid)
         )
-        hit = np.asarray(hit)
-        val = np.asarray(val, dtype=np.int64)
-        real = min(chunk, n - s)
-        c = hit.sum(axis=1)[:real]
-        counts[s : s + real] = c
-        # value of the single hit: sum over the row works when exactly 1 hit
-        single_val[s : s + real] = np.where(
-            c == 1, (val * hit).sum(axis=1)[:real], 0
-        )
+        pending.append((s, min(chunk, n - s), hit_d, val_d))
+        _drain(MAX_INFLIGHT)
+    _drain(0)
     return counts, single_val
+
+
+def _probe_rows_host(segments, sorted_keys: np.ndarray, values: np.ndarray,
+                     k: int):
+    """Native threaded hash probe over raw segment bytes (exact_probe.cpp)."""
+    from ..native import build as native_build
+
+    lib = native_build.load()
+    n = len(segments)
+    if values.size and int(np.abs(values).max()) >= 2**31:
+        raise ValueError("values exceed int32 (hash table layout)")
+    # open-addressing table, load factor <= 0.5 (hash_table.cpp layout)
+    size = 1
+    while size < 2 * max(len(sorted_keys), 1):
+        size *= 2
+    tkeys = np.zeros(size, np.uint32)
+    tvals = np.zeros(size, np.int32)
+    tvals.fill(np.iinfo(np.int32).min)
+    keys_c = np.ascontiguousarray(sorted_keys.view(np.uint32))
+    vals_c = np.ascontiguousarray(values.astype(np.int32))
+    lib.sctag_hash_build(
+        keys_c.ctypes.data, vals_c.ctypes.data, len(sorted_keys), size,
+        tkeys.ctypes.data, tvals.ctypes.data,
+    )
+    # raw bytes + offsets: zero-copy from a SeqBuffer, one join otherwise
+    buf = getattr(segments, "buf", None)
+    if buf is not None:
+        offs = segments.offs
+    else:
+        lens = np.fromiter(
+            (len(s) for s in segments), np.int64, count=n
+        ) if n else np.zeros(0, np.int64)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        joined = "".join(segments).encode("latin-1")
+        buf = np.frombuffer(joined, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    counts = np.zeros(n, np.int64)
+    single = np.zeros(n, np.int64)
+    nthreads = int(os.environ.get("SCTAG_PROBE_THREADS", "2") or 2)
+    lib.sctag_probe_rows(
+        buf.ctypes.data, offs.ctypes.data, n,
+        tkeys.ctypes.data, tvals.ctypes.data, size, k, nthreads,
+        counts.ctypes.data, single.ctypes.data,
+    )
+    return counts, single
 
 
 def host_dict_fallback(segments, words_fwd, words_rc):

@@ -18,7 +18,7 @@ from ..core.cutoff import chunked_cutoff
 from ..core.packing import rev_compl
 from ..io.tsv import open_maybe_gz, open_out
 from ..ops.exact_lookup import build_key_table, host_dict_fallback, probe_segments
-from ..ops.topk_count import count_and_rank
+from ..ops.topk_count import count_and_rank_host
 
 
 def run(args) -> None:
@@ -57,14 +57,18 @@ def run(args) -> None:
 
     try:
         sorted_keys, values = build_key_table(barcodes, barcodes_rc)
-        counts_per_seg, single_val = probe_segments(
-            segments, sorted_keys, values, k=len(barcodes[0])
-        )
+
+        def _probe(batch):
+            return probe_segments(
+                batch, sorted_keys, values, k=len(barcodes[0])
+            )
     except ValueError:
         print("whitelist not uniform ACGT; using host fallback", file=sys.stderr)
-        counts_per_seg, single_val = host_dict_fallback(
-            segments, barcodes, barcodes_rc
-        )
+
+        def _probe(batch):
+            return host_dict_fallback(batch, barcodes, barcodes_rc)
+
+    counts_per_seg, single_val = _scan_with_checkpoint(args, segments, _probe)
 
     matched = counts_per_seg == 1
     vals = np.abs(single_val[matched]).astype(np.uint32)
@@ -73,10 +77,12 @@ def run(args) -> None:
         if args.host_id != 0:
             return  # host 0 writes the single small output file
     else:
-        # device count + rank by (count desc, first-increment asc) — identical
+        # host count + rank by (count desc, first-increment asc) — identical
         # to the reference's insertion-ordered Counter + stable reverse sort
-        # (scTagger.py:826-828)
-        keys_ranked, counts_ranked = count_and_rank(vals)
+        # (scTagger.py:826-828). Host, not device: the id vector is small
+        # and its DATA-DEPENDENT length costs a fresh remote compile per run
+        # on the axon backend (ops/topk_count.py module note).
+        keys_ranked, counts_ranked = count_and_rank_host(vals)
     print(f"\n=====\nFound {len(keys_ranked):,} unique barcodes on long-reads")
     sorted_bc = [
         (int(k), int(c)) for k, c in zip(keys_ranked, counts_ranked)
@@ -89,6 +95,44 @@ def run(args) -> None:
         outfile.write(f"{barcodes[bc]}\t{c}\n")
     if outfile is not sys.stdout:
         outfile.close()
+
+
+def _scan_with_checkpoint(args, segments, probe_fn):
+    """Batch-granular scan cache for the whitelist probe (SCTAG_CHECKPOINT_DIR,
+    like stage 1's scan cache): per-batch (counts, single_val) arrays persist
+    as npz parts, so a killed run resumes at batch granularity with
+    byte-identical output. Disabled for multi-host runs (shard-dependent
+    batch contents would collide on one job key)."""
+    import os
+
+    from ..pipeline.checkpoint import PartStore, job_key
+    from ..utils import batch_iter
+
+    n_hosts = getattr(args, "n_hosts", 1) or 1
+    store = PartStore(
+        "extract_sr_bc_from_lr_scan",
+        job_key(
+            "extract_sr_bc_from_lr_scan",
+            [args.input, args.barcode_whitelist],
+            {"m": args.max_barcode_cnt},
+        ),
+    )
+    if not store.enabled or n_hosts > 1:
+        return probe_fn(segments)
+    batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
+    counts_parts, val_parts = [], []
+    for bi, (s, e) in enumerate(batch_iter(len(segments), batch)):
+        if store.has(bi, "npz"):
+            d = store.load_arrays(bi)
+        else:
+            c, v = probe_fn(segments[s:e])
+            d = {"counts": c, "single_val": v}
+            store.save_arrays(bi, **d)
+        counts_parts.append(d["counts"])
+        val_parts.append(d["single_val"])
+    if not counts_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(counts_parts), np.concatenate(val_parts)
 
 
 def _rank_multi(args, barcodes, vals: np.ndarray, n_hosts: int):

@@ -115,3 +115,40 @@ def test_stage2alt_fuzz_parity(tmp_path, round_i):
     assert gzip.decompress(our_out.read_bytes()) == gzip.decompress(
         ref_out.read_bytes()
     )
+
+
+def test_host_probe_matches_device_probe(monkeypatch):
+    """The native C++ hash probe (default backend, exact_probe.cpp) agrees
+    with the device binary-search probe on fuzz segments incl. non-ACGT
+    chars, empty rows, and planted fwd/rc barcodes."""
+    import os
+
+    import numpy as np
+
+    from sctagger_tpu.core.packing import rev_compl
+    from sctagger_tpu.ops.exact_lookup import (
+        _probe_rows_host,
+        build_key_table,
+        probe_segments,
+    )
+
+    from oracle import random_dna
+
+    rng = np.random.default_rng(44)
+    bcs = sorted({random_dna(rng, 16) for _ in range(300)})
+    sk, vals = build_key_table(bcs, [rev_compl(b) for b in bcs])
+    segs = []
+    for _ in range(3000):
+        s = random_dna(rng, int(rng.integers(0, 40)))
+        if rng.random() < 0.6:
+            b = bcs[int(rng.integers(len(bcs)))]
+            p = int(rng.integers(0, max(1, len(s))))
+            s = s[:p] + b + s[p:]
+        if rng.random() < 0.1:
+            s = s[:5] + "N" + s[5:]
+        segs.append(s)
+    monkeypatch.setenv("SCTAG_PROBE", "device")
+    cd, vd = probe_segments(segs, sk, vals, 16)
+    ch, vh = _probe_rows_host(segs, sk, vals, 16)
+    np.testing.assert_array_equal(cd, ch)
+    np.testing.assert_array_equal(vd[cd == 1], vh[cd == 1])

@@ -55,3 +55,21 @@ def test_count_and_rank_max_key():
     assert list(zip(keys.tolist(), counts.tolist())) == [
         (0, 2), (0xFFFFFFFF, 2), (2**31 - 1, 1)
     ]
+
+
+def test_count_and_rank_host_twin():
+    """count_and_rank_host (the production path) orders identically to the
+    device version across random sizes, masks, and tie patterns."""
+    from sctagger_tpu.ops.topk_count import count_and_rank_host
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        vals = rng.integers(0, 60, size=int(rng.integers(1, 3000))).astype(
+            np.uint32
+        )
+        valid = rng.random(vals.size) < 0.9 if trial % 2 else None
+        kh, ch = count_and_rank_host(vals, valid)
+        kd, cd = count_and_rank(vals, valid)
+        np.testing.assert_array_equal(kh, kd)
+        np.testing.assert_array_equal(ch, cd)
+    assert count_and_rank_host(np.empty(0, np.uint32))[0].size == 0
