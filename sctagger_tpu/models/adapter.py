@@ -46,7 +46,7 @@ from ..ops.myers import (
     build_peq_single_mw,
 )
 from ..runtime import cpu_ctx as _cpu_ctx
-from ..utils import batch_iter, full_fast, round_up
+from ..utils import batch_iter, full_fast, prof_timer, round_up
 
 # Quantile-based read-length buckets: each distinct kernel shape costs a
 # full remote compile per process on the axon backend (~3.5 min, not
@@ -126,9 +126,10 @@ def scan_adapters(
         encode_str(a2, STRICT_TABLE),
     ])
     mw = m > MAX_PATTERN_LEN  # multi-word scans for long adapters
-    peq2 = jnp.asarray(
-        build_peq_multi_mw(pat_stack) if mw else build_peq_multi(pat_stack)
-    )
+    with prof_timer("scan.backend_init"):
+        peq2 = jnp.asarray(
+            build_peq_multi_mw(pat_stack) if mw else build_peq_multi(pat_stack)
+        )
     n = len(seqs)
     lengths = seq_lengths(seqs)
     buckets = _read_buckets(lengths)
@@ -143,7 +144,8 @@ def scan_adapters(
 
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = (on_tpu or force_kernel) and not mw
-    peq2_np = np.asarray(peq2)
+    with prof_timer("scan.peq_roundtrip"):
+        peq2_np = np.asarray(peq2)
     overflow_rids: list[int] = []  # cnt > SLOTS_K: need the full mask path
 
     # In-process multi-device: lay chunks out over the local ('data',) mesh
@@ -152,11 +154,12 @@ def scan_adapters(
     # per-device character budget.
     from ..parallel.mesh import local_mesh
 
-    mesh = (
-        local_mesh(model_parallel=1)
-        if (use_kernel or jax.default_backend() != "tpu") and not mw
-        else None
-    )
+    with prof_timer("scan.mesh_init"):
+        mesh = (
+            local_mesh(model_parallel=1)
+            if (use_kernel or jax.default_backend() != "tpu") and not mw
+            else None
+        )
     n_mesh = int(mesh.shape["data"]) if mesh is not None else 1
 
     MAX_INFLIGHT = 64  # bound HBM held by queued chunks
@@ -165,11 +168,14 @@ def scan_adapters(
     def _drain(limit: int) -> None:
         while len(pending) > limit:
             dev, psub, B = pending.pop(0)
-            _kernel_collect(
-                np.asarray(dev), B, psub,
-                strands, dists, locs_per_read,
-                rev_tasks_rid, rev_tasks_end, overflow_rids,
-            )
+            with prof_timer("scan.sync"):
+                out_np = np.asarray(dev)
+            with prof_timer("scan.collect"):
+                _kernel_collect(
+                    out_np, B, psub,
+                    strands, dists, locs_per_read,
+                    rev_tasks_rid, rev_tasks_end, overflow_rids,
+                )
 
     lo = 0
     for L in buckets:
@@ -184,15 +190,17 @@ def scan_adapters(
             print(f"[scan] bucket<= {L}: {idx.size} reads", file=sys.stderr)
         for s, e in batch_iter(idx.size, chunk):
             sub = idx[s:e]
-            codes, _ = encode_rows(seqs, sub, pad_to=L)
+            with prof_timer("scan.encode"):
+                codes, _ = encode_rows(seqs, sub, pad_to=L)
             if use_kernel:
                 # async dispatch: device crunches while the host encodes the
                 # next chunk. ONE batch shape per bucket (sliver chunks pad
                 # to the full chunk: wasted kernel-ms beat 3.5-min compiles).
-                dev = _kernel_dispatch(
-                    codes, lengths[sub], peq2_np, m,
-                    b_pad=chunk, interpret=not on_tpu, mesh=mesh,
-                )
+                with prof_timer("scan.dispatch"):
+                    dev = _kernel_dispatch(
+                        codes, lengths[sub], peq2_np, m,
+                        b_pad=chunk, interpret=not on_tpu, mesh=mesh,
+                    )
                 pending.append((dev, sub, sub.size))
                 _drain(MAX_INFLIGHT)
             else:
@@ -222,9 +230,11 @@ def scan_adapters(
                 rev_tasks_rid, rev_tasks_end, mesh=mask_mesh,
             )
 
-    _recover_rev_starts(
-        seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists, locs_per_read
-    )
+    with prof_timer("scan.rev_recovery"):
+        _recover_rev_starts(
+            seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists,
+            locs_per_read,
+        )
 
     loc_counts = np.array(
         [0 if v is None else v.size for v in locs_per_read], dtype=np.int64

@@ -14,11 +14,22 @@ or mask arrays ever exist: per-read output is N_OUT ints. Reads with
 cnt > SLOTS_K (multi-site adapter hits, rare) are re-processed by the jnp
 mask fallback in models/adapter.py.
 
-Layout: reads tiled as (8, 128) vregs; text is position-major int8
-(L, R/128, 128); grid = (read_blocks, L_chunks) with the L axis innermost so
-the DP state lives in scratch across chunks (TPU grids execute sequentially).
-Validity (j < read_length) gates every hit so batch padding can't fabricate
-tie positions (a never-matching pad char CAN tie the running min).
+Layout (v2 — mirrors the roofline-speed match kernel, ops/match_pallas.py):
+reads ride the LANE axis as position-major 2-D text (L, B) int8; each block
+bulk-converts its (CHUNK_L, BLOCK_READS) int8 text to an int32 VMEM scratch
+once, then the DP loop reads one (1, BLOCK_READS) row per character via a
+dynamic sublane slice — the exact access pattern the match kernel proved
+fast. The two patterns (adapter fwd + rc) sit on SUBLANES of the (8, B)
+state, so one Myers step advances both strands at once. The v1 layout
+((L, B/128, 8, 128) read-tiles with a per-char dynamic squeeze-index into a
+3-D int8 block) ran ~500x below the VPU instruction roofline; six structural
+variants of it all lost (ROADMAP.md) — the 2-D int32-scratch row access is
+the structural fix.
+
+Grid = (read_blocks, L_chunks) with the L axis innermost so the DP state
+lives in scratch across chunks (TPU grids execute sequentially). Validity
+(j < read_length) gates every hit so batch padding can't fabricate tie
+positions (a never-matching pad char CAN tie the running min).
 """
 
 from __future__ import annotations
@@ -37,146 +48,147 @@ from .myers import high_bit
 SLOTS_K = 4
 N_OUT = 16  # rows [d, cnt, max, s0..s3] x 2 patterns = 14, padded to 16
 CHUNK_L = 512
-BLOCK_READS = 1024  # 8 sublane groups x 128 lanes
-_GRP = BLOCK_READS // 128
-_NST = 5 + SLOTS_K  # scratch rows per pattern: pv, mv, score, cnt, mx, slots
+BLOCK_READS = 1024  # lanes per block
+_NST = 6 + SLOTS_K  # state rows: pv, mv, score, d, cnt, mx, slots
 
 
-def _select_eq(c, peq_row):
-    """c: (8,128) int32 codes; peq_row: list of 4 python ints -> (8,128)."""
-    eq = jnp.zeros_like(c)
-    for b in range(4):
-        eq = jnp.where(c == b, jnp.int32(peq_row[b]), eq)
-    return eq
+def _high_const(m: int) -> jnp.ndarray:
+    """Sign-safe int32 constant for bit (m-1); m=32 wraps to INT32_MIN
+    (numpy 2 rejects negative ints for unsigned dtypes, so mask first)."""
+    return jnp.asarray(
+        np.array(high_bit(m) & 0xFFFFFFFF, np.uint64).astype(np.int32)
+    )
 
 
 def _kernel(
-    text_ref,  # (CL, GRP, 128) int8
-    len_ref,  # (GRP, 128) int32
-    out_ref,  # (N_OUT, GRP, 128) int32
-    st_ref,  # scratch (2, _NST, 8, 128) int32
+    text_ref,  # (CL, BR) int8
+    len_ref,  # (1, BR) int32
+    peq_ref,  # (8, 8) int32: row p = pattern p's Peq, cols 0..3 = base codes
+    out_ref,  # (N_OUT, BR) int32
+    st_ref,  # scratch (_NST, 8, BR) int32
+    tx32_ref,  # scratch (CL, BR) int32
     *,
-    peqs,  # [[int x4], [int x4]]
     m: int,
     cl: int,
     n_lchunks: int,
 ):
     l = pl.program_id(1)
+    br = text_ref.shape[1]
 
     @pl.when(l == 0)
     def _():
-        for p in range(2):
-            st_ref[p, 0] = jnp.full((8, 128), -1, jnp.int32)  # pv
-            st_ref[p, 1] = jnp.zeros((8, 128), jnp.int32)  # mv
-            st_ref[p, 2] = jnp.full((8, 128), m, jnp.int32)  # score
-            st_ref[p, 3] = jnp.zeros((8, 128), jnp.int32)  # cnt
-            st_ref[p, 4] = jnp.full((8, 128), -1, jnp.int32)  # max pos
-            for k in range(SLOTS_K):
-                st_ref[p, 5 + k] = jnp.full((8, 128), -1, jnp.int32)
-        out_ref[0] = jnp.full((8, 128), m, jnp.int32)  # running min d1
-        out_ref[7] = jnp.full((8, 128), m, jnp.int32)  # running min d2
+        st_ref[0] = jnp.full((8, br), -1, jnp.int32)  # pv
+        st_ref[1] = jnp.zeros((8, br), jnp.int32)  # mv
+        st_ref[2] = jnp.full((8, br), m, jnp.int32)  # score
+        st_ref[3] = jnp.full((8, br), m, jnp.int32)  # d (running min)
+        st_ref[4] = jnp.zeros((8, br), jnp.int32)  # cnt
+        st_ref[5] = jnp.full((8, br), -1, jnp.int32)  # max pos
+        for k in range(SLOTS_K):
+            st_ref[6 + k] = jnp.full((8, br), -1, jnp.int32)
 
-    lens = len_ref[:, :]
-    high = jnp.int32(high_bit(m))
+    # Bulk int8 -> int32 once per block; the per-char dynamic sublane slice
+    # below must hit an int32 tile (CLAUDE.md Mosaic gotcha + v1 postmortem).
+    tx32_ref[:, :] = text_ref[:, :].astype(jnp.int32)
+
+    lens = len_ref[0:1, :]  # (1, BR)
+    high = _high_const(m)
+    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (8, 1) each
 
     def body(jj, carry):
-        s1, s2 = carry
-        c = text_ref[jj].astype(jnp.int32)
+        pv, mv, score, d, cnt, mx, *slots = carry  # each (8, BR)
+        c = tx32_ref[pl.ds(jj, 1), :]  # (1, BR)
+        eq = jnp.zeros((8, br), jnp.int32)
+        for b in range(4):
+            eq = jnp.where(c == b, peq_cols[b], eq)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score = score + ((ph & high) != 0).astype(jnp.int32)
+        score = score - ((mh & high) != 0).astype(jnp.int32)
+        ph = ph << 1
+        mh = mh << 1
+        pv = mh | ~(xv | ph)
+        mv = ph & xv
         j = l * cl + jj
-        valid = j < lens
-        out = []
-        for p, st in ((0, s1), (1, s2)):
-            pv, mv, score, d, cnt, mx, *slots = st
-            eq = _select_eq(c, peqs[p])
-            xv = eq | mv
-            xh = (((eq & pv) + pv) ^ pv) | eq
-            ph = mv | ~(xh | pv)
-            mh = pv & xh
-            score = score + ((ph & high) != 0).astype(jnp.int32)
-            score = score - ((mh & high) != 0).astype(jnp.int32)
-            ph = ph << 1
-            mh = mh << 1
-            pv = mh | ~(xv | ph)
-            mv = ph & xv
-            improve = valid & (score < d)
-            tie = valid & (score == d)
-            d = jnp.where(improve, score, d)
-            mx = jnp.where(improve | tie, j, mx)
-            new_slots = []
-            for k in range(SLOTS_K):
-                sk = slots[k]
-                sk = jnp.where(improve, j if k == 0 else -1, sk)
-                sk = jnp.where(tie & (cnt == k), j, sk)
-                new_slots.append(sk)
-            cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
-            out.append((pv, mv, score, d, cnt, mx, *new_slots))
-        return tuple(out)
-
-    def load(p, drow):
-        return (
-            st_ref[p, 0], st_ref[p, 1], st_ref[p, 2], out_ref[drow],
-            st_ref[p, 3], st_ref[p, 4],
-            *[st_ref[p, 5 + k] for k in range(SLOTS_K)],
-        )
-
-    s1, s2 = jax.lax.fori_loop(0, cl, body, (load(0, 0), load(1, 7)))
-
-    for p, st, drow in ((0, s1, 0), (1, s2, 7)):
-        pv, mv, score, d, cnt, mx, *slots = st
-        st_ref[p, 0] = pv
-        st_ref[p, 1] = mv
-        st_ref[p, 2] = score
-        out_ref[drow] = d
-        st_ref[p, 3] = cnt
-        st_ref[p, 4] = mx
+        valid = j < lens  # (1, BR), broadcasts over the pattern sublanes
+        improve = valid & (score < d)
+        tie = valid & (score == d)
+        d = jnp.where(improve, score, d)
+        mx = jnp.where(improve | tie, j, mx)
+        new_slots = []
         for k in range(SLOTS_K):
-            st_ref[p, 5 + k] = slots[k]
+            sk = slots[k]
+            sk = jnp.where(improve, j if k == 0 else -1, sk)
+            sk = jnp.where(tie & (cnt == k), j, sk)
+            new_slots.append(sk)
+        cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
+        return (pv, mv, score, d, cnt, mx, *new_slots)
+
+    init = tuple(st_ref[i] for i in range(_NST))
+    fin = jax.lax.fori_loop(0, cl, body, init)
+    for i in range(_NST):
+        st_ref[i] = fin[i]
 
     @pl.when(l == n_lchunks - 1)
     def _():
+        # state sublane p -> output rows [base+0..base+6] for p in (0, 1)
         for p, base in ((0, 0), (1, 7)):
-            out_ref[base + 1] = st_ref[p, 3]
-            out_ref[base + 2] = st_ref[p, 4]
+            out_ref[base + 0 : base + 1, :] = st_ref[3, p : p + 1, :]
+            out_ref[base + 1 : base + 2, :] = st_ref[4, p : p + 1, :]
+            out_ref[base + 2 : base + 3, :] = st_ref[5, p : p + 1, :]
             for k in range(SLOTS_K):
-                out_ref[base + 3 + k] = st_ref[p, 5 + k]
-        out_ref[14] = jnp.zeros((8, 128), jnp.int32)
-        out_ref[15] = jnp.zeros((8, 128), jnp.int32)
+                out_ref[base + 3 + k : base + 4 + k, :] = st_ref[
+                    6 + k, p : p + 1, :
+                ]
+        out_ref[14:15, :] = jnp.zeros((1, br), jnp.int32)
+        out_ref[15:16, :] = jnp.zeros((1, br), jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "l_total", "peq_tuple", "interpret")
+    jax.jit, static_argnames=("m", "l_total", "interpret")
 )
-def _adapter_scan_call(text, lens, m: int, l_total: int, peq_tuple,
+def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
                        interpret: bool = False):
-    """text: (L, G, 128) int8; lens: (G, 128) int32 -> (N_OUT, G, 128) int32."""
-    G = text.shape[1]
-    peq2 = np.array(peq_tuple, dtype=np.int64).reshape(5, 2)
-    peqs = [[int(peq2[b, p]) for b in range(4)] for p in range(2)]
+    """text: (L, B) int8; lens: (1, B) int32; peq_in: (8, 8) int32
+    -> (N_OUT, B) int32."""
+    B = text.shape[1]
     cl = min(CHUNK_L, l_total)
     n_lchunks = cdiv(l_total, cl)
-    kernel = functools.partial(
-        _kernel, peqs=peqs, m=m, cl=cl, n_lchunks=n_lchunks
-    )
+    kernel = functools.partial(_kernel, m=m, cl=cl, n_lchunks=n_lchunks)
     return pl.pallas_call(
         kernel,
-        grid=(G // _GRP, n_lchunks),
+        grid=(B // BLOCK_READS, n_lchunks),
         in_specs=[
             pl.BlockSpec(
-                (cl, _GRP, 128), lambda i, l: (l, i, 0),
+                (cl, BLOCK_READS), lambda i, l: (l, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (_GRP, 128), lambda i, l: (i, 0), memory_space=pltpu.VMEM
+                (1, BLOCK_READS), lambda i, l: (0, i),
+                memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((8, 8), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (N_OUT, _GRP, 128), lambda i, l: (0, i, 0),
+            (N_OUT, BLOCK_READS), lambda i, l: (0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((N_OUT, G, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((2, _NST, 8, 128), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((N_OUT, B), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((_NST, 8, BLOCK_READS), jnp.int32),
+            pltpu.VMEM((cl, BLOCK_READS), jnp.int32),
+        ],
         interpret=interpret,
-    )(text, lens)
+    )(text, lens, peq_in)
+
+
+def _peq_input(peq2: np.ndarray) -> np.ndarray:
+    """(5, 2) base-major int32 Peq -> (8, 8) pattern-major kernel input
+    (row p = pattern p's Peq over base codes; two's-complement bits kept)."""
+    out = np.zeros((8, 8), dtype=np.int32)
+    out[:2, :5] = np.asarray(peq2, dtype=np.int32).T
+    return out
 
 
 def adapter_scan_tpu(
@@ -214,7 +226,7 @@ def adapter_scan_dispatch(
     """Async variant: returns the device output WITHOUT syncing, so callers
     can overlap host encoding with device compute. Convert with np.asarray
     and feed unpack_scan_out(out, B). With ``mesh`` (parallel/mesh.py), the
-    read tiles are sharded over the mesh's data axis (b_pad must then be a
+    read lanes are sharded over the mesh's data axis (b_pad must then be a
     multiple of n_data * BLOCK_READS)."""
     B, L = codes.shape
     l_total = round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
@@ -222,30 +234,28 @@ def adapter_scan_dispatch(
     assert Bp % BLOCK_READS == 0 and Bp >= B, (Bp, B)
     text = full_fast((l_total, Bp), 4, np.int8)
     text[:L, :B] = codes.T  # cast during copy; no intermediate .astype
-    text = text.reshape(l_total, Bp // 128, 128)
-    lens = np.zeros((Bp,), np.int32)
-    lens[:B] = lengths
-    lens = lens.reshape(Bp // 128, 128)
-    peq_tuple = tuple(int(x) for x in np.asarray(peq2).reshape(-1))
+    lens = np.zeros((1, Bp), np.int32)
+    lens[0, :B] = lengths
+    peq_in = _peq_input(peq2)
     if mesh is not None:
         from ..parallel.mesh import shard_adapter_scan
 
         return shard_adapter_scan(
-            mesh, jnp.asarray(text), jnp.asarray(lens), m, l_total, peq_tuple,
-            interpret=interpret,
+            mesh, jnp.asarray(text), jnp.asarray(lens), jnp.asarray(peq_in),
+            m, l_total, interpret=interpret,
         )
     return _adapter_scan_call(
         jnp.asarray(text),
         jnp.asarray(lens),
+        jnp.asarray(peq_in),
         m,
         l_total,
-        peq_tuple,
         interpret=interpret,
     )
 
 
 def unpack_scan_out(out: np.ndarray, B: int):
-    """(N_OUT, G, 128) or (N_OUT, Bp) kernel output -> (fwd, rc) dicts."""
+    """(N_OUT, B_pad) kernel output -> (fwd, rc) dicts."""
     out = out.reshape(N_OUT, -1)[:, :B]
 
     def unpack(base):

@@ -200,39 +200,41 @@ dist_match_min = shard_match_min
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "m", "l_total", "peq_tuple", "interpret")
+    jax.jit, static_argnames=("mesh", "m", "l_total", "interpret")
 )
-def _adapter_scan_sharded(text, lens, mesh, m, l_total, peq_tuple, interpret):
+def _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total, interpret):
     from ..ops.adapter_pallas import _adapter_scan_call
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, "data"), P("data")),
+        in_specs=(P(None, "data"), P(None, "data"), P(None, None)),
         out_specs=P(None, "data"),
         check_vma=False,
     )
-    def step(text_local, lens_local):
+    def step(text_local, lens_local, peq_full):
         return _adapter_scan_call(
-            text_local, lens_local, m, l_total, peq_tuple, interpret=interpret
+            text_local, lens_local, peq_full, m, l_total, interpret=interpret
         )
 
-    return step(text, lens)
+    return step(text, lens, peq_in)
 
 
-def shard_adapter_scan(mesh, text, lens, m: int, l_total: int, peq_tuple,
+def shard_adapter_scan(mesh, text, lens, peq_in, m: int, l_total: int,
                        interpret: bool = False):
-    """Production adapter-scan kernel, reads sharded over 'data'.
+    """Production adapter-scan kernel, read lanes sharded over 'data'.
 
-    text: (L, G, 128) int8, lens: (G, 128) int32, with G % (n_data * 8) == 0
-    (each shard keeps whole (8, 128) read tiles). Returns the
-    (N_OUT, G, 128) device array WITHOUT syncing."""
+    text: (L, B) int8, lens: (1, B) int32, peq_in: (8, 8) int32, with
+    B % (n_data * BLOCK_READS) == 0 (each shard keeps whole kernel blocks).
+    Returns the (N_OUT, B) device array WITHOUT syncing."""
+    from ..ops.adapter_pallas import BLOCK_READS
+
     assert mesh.shape["model"] == 1, mesh.shape
-    assert text.shape[1] % (mesh.shape["data"] * 8) == 0, (
+    assert text.shape[1] % (mesh.shape["data"] * BLOCK_READS) == 0, (
         text.shape, mesh.shape
     )
     _count(mesh)
-    return _adapter_scan_sharded(text, lens, mesh, m, l_total, peq_tuple,
+    return _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total,
                                  interpret)
 
 

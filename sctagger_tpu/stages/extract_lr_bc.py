@@ -27,7 +27,7 @@ from ..io.tsv import open_out
 from ..models.adapter import AdapterScanResult, scan_adapters
 from ..observability import stage_scope
 from ..pipeline.checkpoint import PartStore, job_key
-from ..utils import batch_iter
+from ..utils import PROF, batch_iter
 
 
 def run(args) -> None:
@@ -144,6 +144,7 @@ def _run(args, stats) -> None:
             )
         else:
             scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
+    stats.timers.update(PROF)  # per-phase scan diagnostics (utils.prof_timer)
 
     preset = args.ranges
     if len(preset[0]) + len(preset[1]) == 0:

@@ -1,1 +1,9 @@
-from .misc import cdiv, round_up, pick_bucket, batch_iter, full_fast  # noqa: F401
+from .misc import (  # noqa: F401
+    PROF,
+    batch_iter,
+    cdiv,
+    full_fast,
+    pick_bucket,
+    prof_timer,
+    round_up,
+)

@@ -46,3 +46,30 @@ def batch_iter(n: int, batch: int) -> Iterator[tuple[int, int]]:
     """Yield (start, stop) index pairs covering range(n) in chunks of ``batch``."""
     for s in range(0, n, batch):
         yield s, min(s + batch, n)
+
+
+# Cross-module phase timers (diagnostics). Model drivers accumulate wall
+# times per phase here; stage drivers fold the deltas into their structured
+# stats (observability.StageStats), surfaced via SCTAG_STATS.
+PROF: dict[str, float] = {}
+
+
+class prof_timer:
+    """Context manager adding elapsed wall time to PROF[key]."""
+
+    def __init__(self, key: str):
+        self.key = key
+
+    def __enter__(self):
+        import time
+
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+
+        PROF[self.key] = PROF.get(self.key, 0.0) + (
+            time.perf_counter() - self._t0
+        )
+        return False
