@@ -43,3 +43,40 @@ def backend() -> str:
     import jax
 
     return jax.default_backend()
+
+
+_WARM_THREAD = None
+
+
+def warm_backend_async() -> None:
+    """Kick the axon session handshake in a daemon thread.
+
+    The first device->host fetch of a process pays a 60-300s server-side
+    handshake on the axon backend (measured 2026-08-19; it shows up on
+    whatever np.asarray happens to run first and previously masqueraded as
+    kernel time). Starting it here lets it overlap host-side input reading
+    and encoding. Idempotent; harmless on CPU-only runs."""
+    global _WARM_THREAD
+    if _WARM_THREAD is not None:
+        return
+    import threading
+
+    def _warm():
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+
+            np.asarray(jnp.zeros((8,), jnp.int32) + 1)
+        except Exception:
+            pass  # warming is an optimization only
+
+    _WARM_THREAD = threading.Thread(
+        target=_warm, name="sctag-backend-warm", daemon=True
+    )
+    _WARM_THREAD.start()
+
+
+def warm_backend_join() -> None:
+    """Block until the handshake warmer (if any) finished."""
+    if _WARM_THREAD is not None:
+        _WARM_THREAD.join()

@@ -31,6 +31,9 @@ from ..utils import PROF, batch_iter
 
 
 def run(args) -> None:
+    from ..runtime import warm_backend_async
+
+    warm_backend_async()  # overlap the axon handshake with input ingest
     with stage_scope("extract_lr_bc") as stats:
         _run(args, stats)
 

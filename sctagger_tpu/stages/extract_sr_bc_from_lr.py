@@ -22,6 +22,9 @@ from ..ops.topk_count import count_and_rank_host
 
 
 def run(args) -> None:
+    from ..runtime import warm_backend_async
+
+    warm_backend_async()  # overlap the axon handshake with input ingest
     n_hosts = getattr(args, "n_hosts", 1) or 1
     multi = n_hosts > 1
 

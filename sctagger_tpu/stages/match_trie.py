@@ -34,6 +34,9 @@ from ..utils import batch_iter
 
 
 def run(args) -> None:
+    from ..runtime import warm_backend_async
+
+    warm_backend_async()  # overlap the axon handshake with input ingest
     with stage_scope("match_trie") as stats:
         _run(args, stats)
 
