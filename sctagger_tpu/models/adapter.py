@@ -52,7 +52,10 @@ from ..utils import batch_iter, full_fast, prof_timer, round_up
 # full remote compile per process on the axon backend (~3.5 min, not
 # persisted), so we pick at most three data-fitted buckets instead of a
 # fixed ladder. Chunk sizes follow a fixed character budget per device call.
-_CHARS_BUDGET = 16 * 1024 * 1024  # int8 text bytes per chunk
+# 64M chars/chunk: the axon tunnel costs ~300ms FIXED per transfer (measured
+# 2026-08-19: 3.9MB->325ms, 15.7MB->400ms), so fewer+larger round trips beat
+# pipelining many small ones; 64M unpacked = 16MB packed ~= 400ms upload.
+_CHARS_BUDGET = 64 * 1024 * 1024  # unpacked text chars per chunk
 
 
 def _read_buckets(lengths: np.ndarray) -> list[int]:
@@ -167,7 +170,7 @@ def scan_adapters(
 
     def _drain(limit: int) -> None:
         while len(pending) > limit:
-            dev, psub, B = pending.pop(0)
+            dev, psub, B, junk = pending.pop(0)
             with prof_timer("scan.sync"):
                 out_np = np.asarray(dev)
             with prof_timer("scan.collect"):
@@ -175,6 +178,7 @@ def scan_adapters(
                     out_np, B, psub,
                     strands, dists, locs_per_read,
                     rev_tasks_rid, rev_tasks_end, overflow_rids,
+                    junk=junk,
                 )
 
     lo = 0
@@ -193,6 +197,17 @@ def scan_adapters(
             with prof_timer("scan.encode"):
                 codes, _ = encode_rows(seqs, sub, pad_to=L)
             if use_kernel:
+                # In-sequence junk chars (strict code 4 before the read end)
+                # violate the 2-bit-packed kernel's contract — route those
+                # reads to the exact mask fallback below.
+                with prof_timer("scan.junk_mask"):
+                    junk = (
+                        (codes == 4)
+                        & (
+                            np.arange(codes.shape[1])[None, :]
+                            < lengths[sub][:, None]
+                        )
+                    ).any(axis=1)
                 # async dispatch: device crunches while the host encodes the
                 # next chunk. ONE batch shape per bucket (sliver chunks pad
                 # to the full chunk: wasted kernel-ms beat 3.5-min compiles).
@@ -201,7 +216,7 @@ def scan_adapters(
                         codes, lengths[sub], peq2_np, m,
                         b_pad=chunk, interpret=not on_tpu, mesh=mesh,
                     )
-                pending.append((dev, sub, sub.size))
+                pending.append((dev, sub, sub.size, junk))
                 _drain(MAX_INFLIGHT)
             else:
                 _mask_chunk(
@@ -218,7 +233,7 @@ def scan_adapters(
                 f"[scan] mask fallback for {len(overflow_rids)} reads",
                 file=sys.stderr,
             )
-        ov = np.array(sorted(overflow_rids), dtype=np.int64)
+        ov = np.array(sorted(set(overflow_rids)), dtype=np.int64)
         mask_mesh = mesh if jax.default_backend() != "tpu" else None
         for s, e in batch_iter(ov.size, 256):
             sub = ov[s:e]
@@ -316,14 +331,22 @@ def _kernel_dispatch(codes, sub_lens, peq2_np, m, b_pad, interpret=False,
 def _kernel_collect(
     out_np, B, sub,
     strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, overflow_rids,
+    junk=None,
 ):
-    """Vectorized unpack of one chunk's (N_OUT, Bp) kernel output."""
+    """Vectorized unpack of one chunk's (N_OUT, Bp) kernel output.
+
+    ``junk`` marks rows with in-sequence non-ACGT chars: the packed kernel's
+    output is unspecified for those, so they join the exact mask fallback."""
     from ..ops.adapter_pallas import SLOTS_K, unpack_scan_out
 
     fwd_o, rc_o = unpack_scan_out(out_np, B)
     d1, d2 = fwd_o["d"], rc_o["d"]
     fwd = d1 < d2
     rev = d2 < d1
+    if junk is not None and junk.any():
+        fwd &= ~junk
+        rev &= ~junk
+        overflow_rids.extend(sub[junk].tolist())
     strands[sub[fwd]] = 0
     strands[sub[rev]] = 1
     dists[sub[fwd]] = d1[fwd]

@@ -61,12 +61,12 @@ def _high_const(m: int) -> jnp.ndarray:
 
 
 def _kernel(
-    text_ref,  # (CL, BR) int8
+    text_ref,  # (CL/4, BR) int8: 2-bit packed, char j at row j>>2 bits 2*(j&3)
     len_ref,  # (1, BR) int32
     peq_ref,  # (8, 8) int32: row p = pattern p's Peq, cols 0..3 = base codes
     out_ref,  # (N_OUT, BR) int32
     st_ref,  # scratch (_NST, 8, BR) int32
-    tx32_ref,  # scratch (CL, BR) int32
+    tx32_ref,  # scratch (CL/4, BR) int32
     *,
     m: int,
     cl: int,
@@ -96,7 +96,8 @@ def _kernel(
 
     def body(jj, carry):
         pv, mv, score, d, cnt, mx, *slots = carry  # each (8, BR)
-        c = tx32_ref[pl.ds(jj, 1), :]  # (1, BR)
+        row = tx32_ref[pl.ds(jj >> 2, 1), :]  # (1, BR) packed word
+        c = (row >> ((jj & 3) * 2)) & 3  # sign-extension safe: low 2 bits
         eq = jnp.zeros((8, br), jnp.int32)
         for b in range(4):
             eq = jnp.where(c == b, peq_cols[b], eq)
@@ -150,8 +151,8 @@ def _kernel(
 )
 def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
                        interpret: bool = False):
-    """text: (L, B) int8; lens: (1, B) int32; peq_in: (8, 8) int32
-    -> (N_OUT, B) int32."""
+    """text: (L/4, B) int8 2-bit packed; lens: (1, B) int32; peq_in: (8, 8)
+    int32 -> (N_OUT, B) int32."""
     B = text.shape[1]
     cl = min(CHUNK_L, l_total)
     n_lchunks = cdiv(l_total, cl)
@@ -161,7 +162,7 @@ def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
         grid=(B // BLOCK_READS, n_lchunks),
         in_specs=[
             pl.BlockSpec(
-                (cl, BLOCK_READS), lambda i, l: (l, i),
+                (cl // 4, BLOCK_READS), lambda i, l: (l, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -177,7 +178,7 @@ def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
         out_shape=jax.ShapeDtypeStruct((N_OUT, B), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((_NST, 8, BLOCK_READS), jnp.int32),
-            pltpu.VMEM((cl, BLOCK_READS), jnp.int32),
+            pltpu.VMEM((cl // 4, BLOCK_READS), jnp.int32),
         ],
         interpret=interpret,
     )(text, lens, peq_in)
@@ -232,8 +233,23 @@ def adapter_scan_dispatch(
     l_total = round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
     Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
     assert Bp % BLOCK_READS == 0 and Bp >= B, (Bp, B)
-    text = full_fast((l_total, Bp), 4, np.int8)
-    text[:L, :B] = codes.T  # cast during copy; no intermediate .astype
+    # 2-bit pack (4 chars/byte) to quarter the host->device transfer. Code 4
+    # (pad/junk) maps to 'A' under the &3 — harmless for SUFFIX padding (the
+    # j < len gate blocks recording, and polluted DP state after a read's end
+    # never reaches a valid position), but WRONG for in-sequence junk chars:
+    # callers must route reads containing junk to the exact mask fallback
+    # (models/adapter.py does).
+    cp = np.zeros((B, l_total), np.uint8)
+    cp[:, :L] = codes
+    cp &= 3
+    pk = (
+        cp[:, 0::4]
+        | (cp[:, 1::4] << 2)
+        | (cp[:, 2::4] << 4)
+        | (cp[:, 3::4] << 6)
+    )
+    text = full_fast((l_total // 4, Bp), 0, np.int8)
+    text[:, :B] = pk.view(np.int8).T  # bit-pattern copy (kernel extracts &3)
     lens = np.zeros((1, Bp), np.int32)
     lens[0, :B] = lengths
     peq_in = _peq_input(peq2)

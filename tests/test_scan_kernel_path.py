@@ -49,6 +49,11 @@ def test_kernel_path_equals_mask_path():
     seqs.append("CC" + (ADAPTER + "TTT") * 8 + "GG")
     # same for reverse strand
     seqs.append("CC" + (rev_compl(ADAPTER) + "TTT") * 8 + "GG")
+    # in-sequence junk chars -> packed-kernel contract violation -> exact
+    # mask fallback (junk must NOT match the adapter's 'A's)
+    seqs.append("GG" + "N" * 30 + ADAPTER + random_dna(rng, 60))
+    seqs.append(ADAPTER.replace("A", "N") + random_dna(rng, 80))
+    seqs.append("N" * 40)  # all-junk read
 
     ref = scan_adapters(seqs, ADAPTER)
     got = scan_adapters(seqs, ADAPTER, force_kernel=True)
