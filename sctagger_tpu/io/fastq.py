@@ -140,6 +140,41 @@ class SeqBuffer:
             out = out.astype(dtype)
         return out, lens.astype(np.int32)
 
+    def encode_packed(
+        self, idx, pad_to: int, table: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Encode + 2-bit pack rows ``idx`` in one native pass.
+
+        Returns (packed (n, pad_to//4) uint8 row-major, lengths int32,
+        junk bool) — junk marks rows with in-sequence non-ACGT chars, which
+        the packed adapter kernel cannot represent (ops/adapter_pallas.py).
+        """
+        from ..native import build as native_build
+
+        assert pad_to % 4 == 0, pad_to
+        idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+        lens = self.lengths[idx] if idx.size else np.empty(0, np.int64)
+        if idx.size and int(lens.max(initial=0)) > pad_to:
+            raise ValueError(
+                f"sequence length {int(lens.max())} > pad_to={pad_to}"
+            )
+        out = np.zeros((idx.size, pad_to // 4), dtype=np.uint8)
+        junk = np.zeros(idx.size, dtype=np.uint8)
+        if idx.size:
+            lib = native_build.load()
+            table = np.ascontiguousarray(table, dtype=np.uint8)
+            lib.sctag_encode_rows_packed(
+                self.buf.ctypes.data,
+                self.offs.ctypes.data,
+                idx.ctypes.data,
+                idx.size,
+                table.ctypes.data,
+                pad_to,
+                out.ctypes.data,
+                junk.ctypes.data,
+            )
+        return out, lens.astype(np.int32), junk.astype(bool)
+
 
 def read_fastqs_py(
     fastqs: Sequence[str], gzipped: bool = False, quiet: bool = False

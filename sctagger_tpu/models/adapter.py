@@ -192,33 +192,53 @@ def scan_adapters(
         chunk *= n_mesh
         if progress:
             print(f"[scan] bucket<= {L}: {idx.size} reads", file=sys.stderr)
+        enc_packed = getattr(seqs, "encode_packed", None) if use_kernel else None
         for s, e in batch_iter(idx.size, chunk):
             sub = idx[s:e]
-            with prof_timer("scan.encode"):
-                codes, _ = encode_rows(seqs, sub, pad_to=L)
             if use_kernel:
-                # In-sequence junk chars (strict code 4 before the read end)
-                # violate the 2-bit-packed kernel's contract — route those
-                # reads to the exact mask fallback below.
-                with prof_timer("scan.junk_mask"):
-                    junk = (
-                        (codes == 4)
-                        & (
-                            np.arange(codes.shape[1])[None, :]
-                            < lengths[sub][:, None]
-                        )
-                    ).any(axis=1)
                 # async dispatch: device crunches while the host encodes the
                 # next chunk. ONE batch shape per bucket (sliver chunks pad
                 # to the full chunk: wasted kernel-ms beat 3.5-min compiles).
-                with prof_timer("scan.dispatch"):
-                    dev = _kernel_dispatch(
-                        codes, lengths[sub], peq2_np, m,
-                        b_pad=chunk, interpret=not on_tpu, mesh=mesh,
-                    )
+                # In-sequence junk chars (strict code >= 4 before the read
+                # end) violate the 2-bit-packed kernel's contract — those
+                # reads route to the exact mask fallback below.
+                from ..ops.adapter_pallas import (
+                    adapter_scan_dispatch_packed,
+                    pad_len,
+                )
+
+                if enc_packed is not None:
+                    # one native pass: encode + pack + junk flags (SeqBuffer)
+                    with prof_timer("scan.encode"):
+                        pk, sub_lens, junk = enc_packed(
+                            sub, pad_to=pad_len(L), table=STRICT_TABLE
+                        )
+                    with prof_timer("scan.dispatch"):
+                        dev = adapter_scan_dispatch_packed(
+                            pk, sub_lens, peq2_np, m, pad_len(L),
+                            b_pad=chunk, interpret=not on_tpu, mesh=mesh,
+                        )
+                else:
+                    with prof_timer("scan.encode"):
+                        codes, _ = encode_rows(seqs, sub, pad_to=L)
+                    with prof_timer("scan.junk_mask"):
+                        junk = (
+                            (codes == 4)
+                            & (
+                                np.arange(codes.shape[1])[None, :]
+                                < lengths[sub][:, None]
+                            )
+                        ).any(axis=1)
+                    with prof_timer("scan.dispatch"):
+                        dev = _kernel_dispatch(
+                            codes, lengths[sub], peq2_np, m,
+                            b_pad=chunk, interpret=not on_tpu, mesh=mesh,
+                        )
                 pending.append((dev, sub, sub.size, junk))
                 _drain(MAX_INFLIGHT)
             else:
+                with prof_timer("scan.encode"):
+                    codes, _ = encode_rows(seqs, sub, pad_to=L)
                 _mask_chunk(
                     codes, lengths[sub], peq2, m, sub,
                     strands, dists, locs_per_read,

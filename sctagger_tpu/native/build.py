@@ -70,6 +70,17 @@ def load():
         ctypes.c_int64,                     # pad_to
         ctypes.c_void_p,                    # out
     ]
+    lib.sctag_encode_rows_packed.restype = None
+    lib.sctag_encode_rows_packed.argtypes = [
+        ctypes.c_void_p,                    # seq_buf
+        ctypes.c_void_p,                    # offs
+        ctypes.c_void_p,                    # idx
+        ctypes.c_int64,                     # n_idx
+        ctypes.c_void_p,                    # table (256 bytes)
+        ctypes.c_int64,                     # pad_to (multiple of 4)
+        ctypes.c_void_p,                    # out (n_idx x pad_to/4)
+        ctypes.c_void_p,                    # junk_out (n_idx bytes)
+    ]
     lib.sctag_read_lr_tsv.restype = ctypes.c_int
     lib.sctag_read_lr_tsv.argtypes = [
         ctypes.c_char_p,

@@ -193,6 +193,46 @@ void sctag_encode_rows(const char* seq_buf, const int64_t* offs,
     }
 }
 
+// Encode + 2-bit pack selected rows for the adapter-scan kernel's packed
+// upload (ops/adapter_pallas.py): char j of row i lands in
+// out[i*(pad_to/4) + (j>>2)] at bits 2*(j&3), as table[c] & 3 (so the junk
+// code 4 aliases to 'A' — the kernel's contract excludes junk rows).
+// junk_out[i] = 1 iff any in-sequence char maps to a code >= 4, letting the
+// caller route those rows to the exact unpacked fallback. pad_to % 4 == 0.
+void sctag_encode_rows_packed(const char* seq_buf, const int64_t* offs,
+                              const int64_t* idx, int64_t n_idx,
+                              const unsigned char* table, int64_t pad_to,
+                              unsigned char* out, unsigned char* junk_out) {
+    int64_t lq = pad_to / 4;
+    for (int64_t i = 0; i < n_idx; i++) {
+        int64_t o0 = offs[idx[i]];
+        int64_t len = offs[idx[i] + 1] - o0;
+        if (len > pad_to) len = pad_to;
+        const unsigned char* src = (const unsigned char*)seq_buf + o0;
+        unsigned char* dst = out + i * lq;
+        unsigned int junk = 0;
+        int64_t k = 0, full = len / 4;
+        for (; k < full; k++) {
+            unsigned c0 = table[src[4 * k]], c1 = table[src[4 * k + 1]];
+            unsigned c2 = table[src[4 * k + 2]], c3 = table[src[4 * k + 3]];
+            junk |= (c0 | c1 | c2 | c3) >> 2;
+            dst[k] = (unsigned char)((c0 & 3) | ((c1 & 3) << 2) |
+                                     ((c2 & 3) << 4) | ((c3 & 3) << 6));
+        }
+        if (k * 4 < len) {
+            unsigned char b = 0;
+            for (int64_t j = 4 * k; j < len; j++) {
+                unsigned c = table[src[j]];
+                junk |= c >> 2;
+                b |= (unsigned char)((c & 3) << (2 * (j & 3)));
+            }
+            dst[k++] = b;
+        }
+        if (k < lq) std::memset(dst + k, 0, (size_t)(lq - k));
+        junk_out[i] = junk ? 1 : 0;
+    }
+}
+
 // Gather an arbitrary row subset into a compact buffer: out_buf gets the
 // selected rows' bytes back to back, out_offs ((n_idx+1) int64) their new
 // offsets. Caller pre-sizes out_buf to sum of selected lengths (numpy

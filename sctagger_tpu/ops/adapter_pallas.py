@@ -215,6 +215,12 @@ def adapter_scan_tpu(
     return unpack_scan_out(out, codes.shape[0])
 
 
+def pad_len(L: int) -> int:
+    """Kernel text length for reads up to L chars (one compiled shape per
+    bucket: small lengths round to 32, long ones to whole CHUNK_L chunks)."""
+    return round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
+
+
 def adapter_scan_dispatch(
     codes: np.ndarray,
     lengths: np.ndarray,
@@ -230,15 +236,14 @@ def adapter_scan_dispatch(
     read lanes are sharded over the mesh's data axis (b_pad must then be a
     multiple of n_data * BLOCK_READS)."""
     B, L = codes.shape
-    l_total = round_up(L, 32) if L <= CHUNK_L else round_up(L, CHUNK_L)
-    Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
-    assert Bp % BLOCK_READS == 0 and Bp >= B, (Bp, B)
+    l_total = pad_len(L)
     # 2-bit pack (4 chars/byte) to quarter the host->device transfer. Code 4
     # (pad/junk) maps to 'A' under the &3 — harmless for SUFFIX padding (the
     # j < len gate blocks recording, and polluted DP state after a read's end
     # never reaches a valid position), but WRONG for in-sequence junk chars:
     # callers must route reads containing junk to the exact mask fallback
-    # (models/adapter.py does).
+    # (models/adapter.py does). SeqBuffer inputs pack natively instead
+    # (io/fastq.py encode_packed) and call adapter_scan_dispatch_packed.
     cp = np.zeros((B, l_total), np.uint8)
     cp[:, :L] = codes
     cp &= 3
@@ -248,6 +253,28 @@ def adapter_scan_dispatch(
         | (cp[:, 2::4] << 4)
         | (cp[:, 3::4] << 6)
     )
+    return adapter_scan_dispatch_packed(
+        pk, lengths, peq2, m, l_total,
+        interpret=interpret, b_pad=b_pad, mesh=mesh,
+    )
+
+
+def adapter_scan_dispatch_packed(
+    pk: np.ndarray,
+    lengths: np.ndarray,
+    peq2: np.ndarray,
+    m: int,
+    l_total: int,
+    interpret: bool = False,
+    b_pad: int | None = None,
+    mesh=None,
+):
+    """Dispatch from pre-packed rows: pk (B, l_total//4) uint8 row-major
+    (char j of row i at byte j>>2, bits 2*(j&3))."""
+    B = pk.shape[0]
+    assert pk.shape[1] * 4 == l_total, (pk.shape, l_total)
+    Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
+    assert Bp % BLOCK_READS == 0 and Bp >= B, (Bp, B)
     text = full_fast((l_total // 4, Bp), 0, np.int8)
     text[:, :B] = pk.view(np.int8).T  # bit-pattern copy (kernel extracts &3)
     lens = np.zeros((1, Bp), np.int32)

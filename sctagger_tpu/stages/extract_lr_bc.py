@@ -34,6 +34,7 @@ def run(args) -> None:
     from ..runtime import warm_backend_async
 
     warm_backend_async()  # overlap the axon handshake with input ingest
+    PROF.clear()  # per-run phase timers (utils.prof_timer)
     with stage_scope("extract_lr_bc") as stats:
         _run(args, stats)
 

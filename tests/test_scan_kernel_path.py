@@ -58,3 +58,23 @@ def test_kernel_path_equals_mask_path():
     ref = scan_adapters(seqs, ADAPTER)
     got = scan_adapters(seqs, ADAPTER, force_kernel=True)
     assert _flatten(got) == _flatten(ref)
+
+    # Same fixture through a SeqBuffer: the kernel path then uses the NATIVE
+    # encode+pack+junk pass (io/fastq.py encode_packed) instead of the numpy
+    # pack — must be byte-identical to both.
+    import tempfile, pathlib
+
+    from sctagger_tpu.io.fastq import read_fastqs
+
+    with tempfile.TemporaryDirectory() as td:
+        fq = pathlib.Path(td) / "reads.fastq"
+        fq.write_text(
+            "".join(
+                f"@r{i} x\n{s}\n+\n{'I' * len(s)}\n"
+                for i, s in enumerate(seqs)
+            )
+        )
+        _, sb = read_fastqs([str(fq)], gzipped=False)
+    assert hasattr(sb, "encode_packed")
+    got_native = scan_adapters(sb, ADAPTER, force_kernel=True)
+    assert _flatten(got_native) == _flatten(ref)
