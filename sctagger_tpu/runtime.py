@@ -48,6 +48,21 @@ def backend() -> str:
 _WARM_THREAD = None
 
 
+def _platforms_setting() -> str:
+    """The jax_platforms value that WOULD govern backend resolution, without
+    initializing any backend (config first — the axon sitecustomize pins it
+    at interpreter start — then the env var)."""
+    try:
+        import jax
+
+        val = jax.config.jax_platforms
+        if val:
+            return val
+    except Exception:
+        pass
+    return os.environ.get("JAX_PLATFORMS", "")
+
+
 def warm_backend_async() -> None:
     """Kick the axon session handshake in a daemon thread.
 
@@ -55,10 +70,20 @@ def warm_backend_async() -> None:
     handshake on the axon backend (measured 2026-08-19; it shows up on
     whatever np.asarray happens to run first and previously masqueraded as
     kernel time). Starting it here lets it overlap host-side input reading
-    and encoding. Idempotent; harmless on CPU-only runs."""
+    and encoding. Idempotent; a no-op unless the axon platform is in play
+    (no handshake exists elsewhere, and a stage that never touches jax must
+    not pay a backend init just to warm it).
+
+    Exit safety: if the process finishes without ever joining the device
+    (e.g. a host-only probe path), interpreter teardown would kill the
+    daemon thread mid-XLA-init and SEGV — the atexit guard joins briefly,
+    then flushes stdio and hard-exits before finalization can race it."""
     global _WARM_THREAD
     if _WARM_THREAD is not None:
         return
+    if "axon" not in _platforms_setting():
+        return
+    import atexit
     import threading
 
     def _warm():
@@ -70,6 +95,18 @@ def warm_backend_async() -> None:
         except Exception:
             pass  # warming is an optimization only
 
+    def _exit_guard():
+        if _WARM_THREAD is None or not _WARM_THREAD.is_alive():
+            return
+        _WARM_THREAD.join(timeout=2.0)
+        if _WARM_THREAD.is_alive():
+            import sys
+
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)
+
+    atexit.register(_exit_guard)
     _WARM_THREAD = threading.Thread(
         target=_warm, name="sctag-backend-warm", daemon=True
     )
