@@ -26,11 +26,21 @@ def ensure_built() -> pathlib.Path:
         _LIB.stat().st_mtime >= s.stat().st_mtime for s in _SRCS
     ):
         return _LIB
-    cmd = [
+    base = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
         *map(str, _SRCS), "-o", str(_LIB), "-lz",
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    # libdeflate (when present) accelerates the BGZF block inflate ~2-3x;
+    # bam_reader.cpp detects the header via __has_include, so the only probe
+    # needed here is whether the linker finds the library.
+    try:
+        subprocess.run(base + ["-ldeflate"], check=True, capture_output=True,
+                       text=True)
+        return _LIB
+    except subprocess.CalledProcessError:
+        pass
+    subprocess.run(base + ["-DSCTAG_NO_LIBDEFLATE"], check=True,
+                   capture_output=True, text=True)
     return _LIB
 
 
