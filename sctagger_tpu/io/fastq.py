@@ -33,10 +33,13 @@ class SeqBuffer:
     ``buf`` offsets are absolute, so slices share the buffer.
     """
 
-    def __init__(self, buf: np.ndarray, offs: np.ndarray):
+    def __init__(self, buf: np.ndarray, offs: np.ndarray, owner=None):
         assert buf.dtype == np.uint8 and offs.dtype == np.int64
         self.buf = buf
         self.offs = offs  # (n+1,) absolute offsets into buf
+        # keeps native memory alive when buf/offs are zero-copy views over
+        # the C parser's calloc'd buffers (freed by the owner's finalizer)
+        self._owner = owner
 
     def __len__(self) -> int:
         return len(self.offs) - 1
@@ -50,7 +53,7 @@ class SeqBuffer:
             start, stop, step = i.indices(len(self))
             if step != 1:
                 raise IndexError("SeqBuffer slices must be contiguous")
-            return SeqBuffer(self.buf, self.offs[start : stop + 1])
+            return SeqBuffer(self.buf, self.offs[start : stop + 1], self._owner)
         o0, o1 = int(self.offs[i]), int(self.offs[i + 1])
         return self.buf[o0:o1].tobytes().decode("latin-1")
 
@@ -231,26 +234,48 @@ def _read_fastq_native(path: str):
         msg = err.value.decode() if err.value else "unknown error"
         lib.sctag_free(err)
         raise OSError(f"{path}: {msg}")
-    try:
-        nb = ctypes.string_at(names_buf, names_len.value)
-        # one C-level split: names were '\n'-terminated by the parser
-        names = nb.decode("latin-1").split("\n")[:-1] if nb else []
-        n = n_seqs.value
-        sz = int(seq_offs[n])
-        # string_at -> frombuffer keeps the data in PyBytes-backed memory and
-        # avoids big fresh numpy allocations: on this host, first-touch page
-        # faults on malloc-backed numpy buffers run ~500us/page (see
-        # CLAUDE.md), while PyBytes allocation+write is ~1 GB/s. The arrays
-        # are read-only views over the bytes (we never mutate them).
-        buf = np.frombuffer(ctypes.string_at(seq_buf, sz), dtype=np.uint8)
-        offs = np.frombuffer(
-            ctypes.string_at(seq_offs, 8 * (n + 1)), dtype=np.int64
-        )
-    finally:
-        lib.sctag_free(names_buf)
-        lib.sctag_free(seq_buf)
-        lib.sctag_free(seq_offs)
-    return names, buf, offs, n_lines.value
+    nb = ctypes.string_at(names_buf, names_len.value)
+    lib.sctag_free(names_buf)
+    # one C-level split: names were '\n'-terminated by the parser
+    names = nb.decode("latin-1").split("\n")[:-1] if nb else []
+    n = n_seqs.value
+    # Zero-copy views over the parser's calloc'd buffers: a string_at copy of
+    # a 100MB sequence buffer costs ~0.8s on this host (PyBytes alloc +
+    # memcpy), which dominated the read. The owner's finalizer frees the C
+    # memory once every consumer (SeqBuffer and its slices) is gone.
+    owner = _NativeMem(lib, seq_buf, seq_offs)
+    offs = np.frombuffer(
+        (ctypes.c_int64 * (n + 1)).from_address(
+            ctypes.cast(seq_offs, ctypes.c_void_p).value
+        ),
+        dtype=np.int64,
+    )
+    sz = int(offs[n])
+    buf = np.frombuffer(
+        (ctypes.c_ubyte * sz).from_address(
+            ctypes.cast(seq_buf, ctypes.c_void_p).value
+        ),
+        dtype=np.uint8,
+    ) if sz else np.empty(0, np.uint8)
+    return names, buf, offs, n_lines.value, owner
+
+
+class _NativeMem:
+    """Finalizer handle for C-allocated buffers wrapped as numpy views."""
+
+    def __init__(self, lib, *ptrs):
+        import ctypes
+
+        self._lib = lib
+        self._addrs = [ctypes.cast(p, ctypes.c_void_p).value for p in ptrs]
+
+    def __del__(self):
+        try:
+            for a in self._addrs:
+                if a:
+                    self._lib.sctag_free(a)
+        except Exception:
+            pass
 
 
 def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = False):
@@ -270,15 +295,17 @@ def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = Fals
     rnames: list[str] = []
     bufs: list[np.ndarray] = []
     offs_parts: list[np.ndarray] = []
+    owners: list = []  # keep native memory alive while views are in use
     for fastq in fastqs:
         if not quiet:
             print(f"Reading {fastq}", file=sys.stderr)
-        names, buf, offs, _ = _read_fastq_native(fastq)
+        names, buf, offs, _, owner = _read_fastq_native(fastq)
         rnames.extend(names)
         bufs.append(buf)
         offs_parts.append(offs)
+        owners.append(owner)
     if len(bufs) == 1:
-        return rnames, SeqBuffer(bufs[0], offs_parts[0])
+        return rnames, SeqBuffer(bufs[0], offs_parts[0], owners[0])
     # multi-file: assemble into calloc-backed arrays (np.zeros — see
     # CLAUDE.md page-fault note); offsets are rebased per file
     total_sz = sum(b.size for b in bufs)

@@ -115,11 +115,13 @@ def _read_fastq_shard_native(paths: Sequence[str], host_id: int, n_hosts: int):
     native_build.ensure_built()
     per_file = []  # (names, buf, offs) truncated to complete records
     counts = []
+    owners = []  # keep the native zero-copy buffers alive until copied out
     for p in paths:
-        names, buf, offs, n_lines = _read_fastq_native(p)
+        names, buf, offs, n_lines, owner = _read_fastq_native(p)
         rec = n_lines // 4  # complete records only (reference parse)
         per_file.append((names[:rec], buf, offs[: rec + 1]))
         counts.append(rec)
+        owners.append(owner)
     start, stop = shard_ranges(sum(counts), n_hosts)[host_id]
 
     out_names: list[str] = []

@@ -30,7 +30,10 @@ def open_out(path: str | None, force_gzip: bool):
     if path is None:
         return sys.stdout
     if force_gzip or path.endswith("gz"):
-        return gzip.open(path, "wt+")
+        # level 4: ~5x faster than the Python-default level 9 at ~5% larger
+        # output; the DECOMPRESSED bytes (what parity compares, and what the
+        # reference's downstream consumers read) are identical either way
+        return gzip.open(path, "wt+", compresslevel=4)
     return open(path, "w+")
 
 

@@ -53,8 +53,10 @@ from ..utils import batch_iter, full_fast, prof_timer, round_up
 # persisted), so we pick at most three data-fitted buckets instead of a
 # fixed ladder. Chunk sizes follow a fixed character budget per device call.
 # 64M chars/chunk: the axon tunnel costs ~300ms FIXED per transfer (measured
-# 2026-08-19: 3.9MB->325ms, 15.7MB->400ms), so fewer+larger round trips beat
-# pipelining many small ones; 64M unpacked = 16MB packed ~= 400ms upload.
+# 2026-08-19: 3.9MB->325ms, 15.7MB->400ms), so larger round trips beat many
+# small ones — but NOT one giant chunk: a 192M-char single chunk measured
+# 6.75s steady vs 3.79s at 64M (4 in-flight chunks overlap upload, kernel,
+# and fetch; one chunk serializes them). 64M = 16MB packed is the sweet spot.
 _CHARS_BUDGET = 64 * 1024 * 1024  # unpacked text chars per chunk
 
 
@@ -139,7 +141,11 @@ def scan_adapters(
 
     strands = full_fast(n, -1, np.int8)
     dists = full_fast(n, -1, np.int32)
-    locs_per_read: list[np.ndarray | None] = [None] * n
+    # flat (rid, loc) accumulation: per-read numpy arrays cost ~0.45s of
+    # np.split/view churn at 50K reads — one stable argsort at the end
+    # recovers read-major order instead
+    loc_rids: list[np.ndarray] = []
+    loc_vals: list[np.ndarray] = []
 
     order = np.argsort(lengths, kind="stable")
     rev_tasks_rid: list[np.ndarray] = []  # read ids per pending rev task
@@ -176,7 +182,7 @@ def scan_adapters(
             with prof_timer("scan.collect"):
                 _kernel_collect(
                     out_np, B, psub,
-                    strands, dists, locs_per_read,
+                    strands, dists, loc_rids, loc_vals,
                     rev_tasks_rid, rev_tasks_end, overflow_rids,
                     junk=junk,
                 )
@@ -241,7 +247,7 @@ def scan_adapters(
                     codes, _ = encode_rows(seqs, sub, pad_to=L)
                 _mask_chunk(
                     codes, lengths[sub], peq2, m, sub,
-                    strands, dists, locs_per_read,
+                    strands, dists, loc_rids, loc_vals,
                     rev_tasks_rid, rev_tasks_end, mesh=mesh,
                 )
     _drain(0)
@@ -261,30 +267,33 @@ def scan_adapters(
             codes, _ = encode_rows(seqs, sub, pad_to=L)
             _mask_chunk(
                 codes, lengths[sub], peq2, m, sub,
-                strands, dists, locs_per_read,
+                strands, dists, loc_rids, loc_vals,
                 rev_tasks_rid, rev_tasks_end, mesh=mask_mesh,
             )
 
     with prof_timer("scan.rev_recovery"):
         _recover_rev_starts(
             seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists,
-            locs_per_read,
+            loc_rids, loc_vals,
         )
 
-    loc_counts = np.array(
-        [0 if v is None else v.size for v in locs_per_read], dtype=np.int64
-    )
-    flat = (
-        np.concatenate([v for v in locs_per_read if v is not None and v.size])
-        if loc_counts.sum()
-        else np.empty(0, dtype=np.int64)
-    )
+    if loc_rids:
+        rid_all = np.concatenate(loc_rids)
+        val_all = np.concatenate(loc_vals)
+        # stable: preserves each path's ascending within-read loc order
+        order = np.argsort(rid_all, kind="stable")
+        flat = np.ascontiguousarray(val_all[order])
+        loc_counts = np.bincount(rid_all, minlength=n).astype(np.int64)
+    else:
+        flat = np.empty(0, dtype=np.int64)
+        loc_counts = np.zeros(n, dtype=np.int64)
     return AdapterScanResult(strands, dists, flat, loc_counts)
 
 
 def _mask_chunk(
     codes, sub_lens, peq2, m, sub,
-    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, mesh=None,
+    strands, dists, loc_rids, loc_vals, rev_tasks_rid, rev_tasks_end,
+    mesh=None,
 ):
     """jnp mask path: exact full argmin-end sets via (L, B) masks.
 
@@ -329,7 +338,9 @@ def _mask_chunk(
     dists[sub[fwd]] = d1[fwd]
     dists[sub[rev]] = d2[rev]
     for bi in np.flatnonzero(fwd):
-        locs_per_read[sub[bi]] = np.flatnonzero(mask[:, bi, 0]).astype(np.int64)
+        ends = np.flatnonzero(mask[:, bi, 0]).astype(np.int64)
+        loc_rids.append(np.full(ends.size, sub[bi], dtype=np.int64))
+        loc_vals.append(ends)
     for bi in np.flatnonzero(rev):
         ends = np.flatnonzero(mask[:, bi, 1]).astype(np.int64)
         rev_tasks_rid.append(np.full(ends.size, sub[bi], dtype=np.int64))
@@ -350,8 +361,8 @@ def _kernel_dispatch(codes, sub_lens, peq2_np, m, b_pad, interpret=False,
 
 def _kernel_collect(
     out_np, B, sub,
-    strands, dists, locs_per_read, rev_tasks_rid, rev_tasks_end, overflow_rids,
-    junk=None,
+    strands, dists, loc_rids, loc_vals, rev_tasks_rid, rev_tasks_end,
+    overflow_rids, junk=None,
 ):
     """Vectorized unpack of one chunk's (N_OUT, Bp) kernel output.
 
@@ -373,15 +384,14 @@ def _kernel_collect(
     dists[sub[rev]] = d2[rev]
 
     karange = np.arange(SLOTS_K)[None, :]
-    # forward: per-read loc arrays (views into one flat array)
+    # forward: flat (rid, loc) arrays, read-major (slots ascend per read)
     ok = fwd & (fwd_o["cnt"] <= SLOTS_K)
     fi = np.flatnonzero(ok)
     if fi.size:
         cnts = fwd_o["cnt"][fi]
         flat = fwd_o["slots"][fi][karange < cnts[:, None]].astype(np.int64)
-        parts = np.split(flat, np.cumsum(cnts)[:-1])
-        for i, bi in enumerate(fi):
-            locs_per_read[sub[bi]] = parts[i]
+        loc_rids.append(np.repeat(sub[fi], cnts))
+        loc_vals.append(flat)
     overflow_rids.extend(sub[fwd & (fwd_o["cnt"] > SLOTS_K)].tolist())
 
     # reverse: flat (rid, end) task arrays, read-major
@@ -396,7 +406,8 @@ def _kernel_collect(
 
 
 def _recover_rev_starts(
-    seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists, locs_per_read
+    seqs, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists,
+    loc_rids, loc_vals,
 ):
     """Batch reverse-SHW over 2m-wide windows; fills locs for '-' reads."""
     if not rev_tasks_rid:
@@ -433,10 +444,6 @@ def _recover_rev_starts(
                 )
             )
         starts[s:e] = ee - k_last
-    # group back per read (tasks were appended read-major)
-    locs = starts - lengths[rids].astype(np.int64) - 1
-    cut = np.flatnonzero(np.diff(rids)) + 1
-    for rid_group, loc_group in zip(
-        np.split(rids, cut), np.split(locs, cut)
-    ):
-        locs_per_read[int(rid_group[0])] = loc_group
+    # tasks are read-major with ends ascending per read: append flat
+    loc_rids.append(rids)
+    loc_vals.append(starts - lengths[rids].astype(np.int64) - 1)

@@ -30,9 +30,50 @@
 
 namespace {
 
+// calloc-backed growable byte buffer: on this host's kernel, first-touch
+// writes to plain-malloc pages run ~500us/page while calloc-backed pages
+// write at GB/s (see CLAUDE.md page-fault cliff) — a 100MB parse output is
+// seconds vs milliseconds. The final pointer is handed to the caller
+// (freed with sctag_free == free).
+struct Buf {
+    char* p = nullptr;
+    size_t n = 0, cap = 0;
+
+    ~Buf() { std::free(p); }
+
+    void reserve(size_t c) {
+        if (c <= cap) return;
+        char* q = (char*)std::calloc(c, 1);
+        if (n) std::memcpy(q, p, n);
+        std::free(p);
+        p = q;
+        cap = c;
+    }
+
+    void append(const char* s, size_t k) {
+        if (n + k > cap) {
+            size_t want = n + k;
+            size_t dbl = cap ? cap * 2 : (size_t)1 << 20;
+            reserve(want > dbl ? want : dbl);
+        }
+        std::memcpy(p + n, s, k);
+        n += k;
+    }
+
+    void push_back(char c) { append(&c, 1); }
+
+    char* release() {  // hand ownership to the caller; never null
+        if (!p) p = (char*)std::calloc(1, 1);
+        char* q = p;
+        p = nullptr;
+        n = cap = 0;
+        return q;
+    }
+};
+
 struct FastqOut {
-    std::string names;            // '\n'-joined (trailing '\n' per name)
-    std::string seqs;             // concatenated, no separators
+    Buf names;                    // '\n'-joined (trailing '\n' per name)
+    Buf seqs;                     // concatenated, no separators
     std::vector<int64_t> offs;    // n_seqs + 1 offsets into seqs
     int64_t n_names = 0;
     int64_t n_lines = 0;          // total lines (records = n_lines / 4)
@@ -48,60 +89,85 @@ class FastqParser {
   public:
     explicit FastqParser(FastqOut& out) : out_(out) { out_.offs.push_back(0); }
 
+    // memchr-based bulk scan: whole lines are processed straight out of the
+    // read chunk (no per-char copy; the spill buffer is used only for lines
+    // crossing chunk boundaries). The '\r' search is bounded by the next
+    // '\n' so CR-less files never rescan.
     bool feed(const char* data, size_t n) {
-        for (size_t i = 0; i < n; i++) {
-            char c = data[i];
-            if (prev_cr_) {
-                prev_cr_ = false;
-                if (c == '\n') continue;  // "\r\n" already terminated the line
+        size_t i = 0;
+        if (prev_cr_) {
+            prev_cr_ = false;
+            if (n > 0 && data[0] == '\n') i = 1;  // "\r\n" across chunks
+        }
+        while (i < n) {
+            const char* nl = (const char*)memchr(data + i, '\n', n - i);
+            size_t lim = nl ? (size_t)(nl - (data + i)) : n - i;
+            const char* cr = (const char*)memchr(data + i, '\r', lim);
+            const char* term = cr ? cr : nl;
+            if (!term) {  // no terminator in this chunk: stash the tail
+                line_.append(data + i, n - i);
+                return true;
             }
-            if (c == '\n') {
-                if (!finish_line()) return false;
-            } else if (c == '\r') {
-                prev_cr_ = true;
-                if (!finish_line()) return false;
+            size_t end = (size_t)(term - data);
+            bool ok;
+            if (line_.empty()) {
+                ok = process_line(data + i, end - i);
             } else {
-                line_.push_back(c);
+                line_.append(data + i, end - i);
+                ok = process_line(line_.data(), line_.size());
+                line_.clear();
+            }
+            if (!ok) return false;
+            i = end + 1;
+            if (*term == '\r') {
+                if (i < n) {
+                    if (data[i] == '\n') i++;
+                } else {
+                    prev_cr_ = true;  // possible "\r\n" split across chunks
+                }
             }
         }
         return true;
     }
 
     bool eof() {
-        if (!line_.empty()) return finish_line();
+        if (!line_.empty()) {
+            bool ok = process_line(line_.data(), line_.size());
+            line_.clear();
+            return ok;
+        }
         return true;
     }
 
   private:
-    bool finish_line() {
+    bool process_line(const char* l, size_t n) {
         int r = line_idx_ & 3;
         if (r == 0) {
-            size_t i = 0, n = line_.size();
-            while (i < n && is_ws((unsigned char)line_[i])) i++;
+            size_t i = 0;
+            while (i < n && is_ws((unsigned char)l[i])) i++;
             size_t start = i;
-            while (i < n && !is_ws((unsigned char)line_[i])) i++;
+            while (i < n && !is_ws((unsigned char)l[i])) i++;
             if (i == start) {
                 out_.error = "malformed header line (no token)";
                 return false;
             }
             // token minus its first char, exactly `l.split()[0][1:]`
-            out_.names.append(line_, start + 1, i - start - 1);
+            out_.names.append(l + start + 1, i - start - 1);
             out_.names.push_back('\n');
             out_.n_names++;
         } else if (r == 1) {
-            size_t j = line_.size();
-            while (j > 0 && is_ws((unsigned char)line_[j - 1])) j--;
-            out_.seqs.append(line_, 0, j);
-            out_.offs.push_back((int64_t)out_.seqs.size());
+            size_t j = n;
+            while (j > 0 && is_ws((unsigned char)l[j - 1])) j--;
+            out_.seqs.append(l, j);
+            out_.offs.push_back((int64_t)out_.seqs.n);
         }
         line_idx_++;
         out_.n_lines = line_idx_;
-        line_.clear();
         return true;
     }
 
     FastqOut& out_;
-    std::string line_;
+    std::string line_;  // spill for lines crossing chunk boundaries
     int64_t line_idx_ = 0;
     bool prev_cr_ = false;
 };
@@ -139,6 +205,26 @@ int sctag_read_fastq(const char* path, char** names_buf, int64_t* names_len,
     gzbuffer(f, 1 << 20);
 
     FastqOut out;
+    {
+        // pre-size the big outputs from the file size (sequences are ~half
+        // the text; gzip FASTQ compresses ~3-4x) — growth doubling still
+        // covers misestimates, this just skips most of the copies
+        FILE* sf = std::fopen(path, "rb");
+        if (sf) {
+            std::fseek(sf, 0, SEEK_END);
+            long sz = std::ftell(sf);
+            unsigned char magic[2] = {0, 0};
+            std::fseek(sf, 0, SEEK_SET);
+            size_t got = std::fread(magic, 1, 2, sf);
+            std::fclose(sf);
+            bool gz = got == 2 && magic[0] == 0x1f && magic[1] == 0x8b;
+            if (sz > 0) {
+                size_t text = (size_t)sz * (gz ? 4 : 1);
+                out.seqs.reserve(text / 2 + 4096);
+                out.names.reserve(text / 32 + 4096);
+            }
+        }
+    }
     FastqParser parser(out);
     std::vector<char> chunk(1 << 22);
     bool ok = true;
@@ -162,14 +248,14 @@ int sctag_read_fastq(const char* path, char** names_buf, int64_t* names_len,
         return 1;
     }
 
-    *names_buf = dup_malloc(out.names);
-    *names_len = (int64_t)out.names.size();
+    *names_len = (int64_t)out.names.n;
+    *names_buf = out.names.release();  // calloc-backed; caller sctag_free's
     *n_names = out.n_names;
     *n_lines = out.n_lines;
-    *seq_buf = dup_malloc(out.seqs);
     *n_seqs = (int64_t)out.offs.size() - 1;
+    *seq_buf = out.seqs.release();
     *seq_offs =
-        (int64_t*)std::malloc(sizeof(int64_t) * out.offs.size());
+        (int64_t*)std::calloc(out.offs.size(), sizeof(int64_t));
     std::memcpy(*seq_offs, out.offs.data(), sizeof(int64_t) * out.offs.size());
     return 0;
 }

@@ -94,40 +94,45 @@ def _kernel(
     high = _high_const(m)
     peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (8, 1) each
 
-    def body(jj, carry):
-        pv, mv, score, d, cnt, mx, *slots = carry  # each (8, BR)
-        row = tx32_ref[pl.ds(jj >> 2, 1), :]  # (1, BR) packed word
-        c = (row >> ((jj & 3) * 2)) & 3  # sign-extension safe: low 2 bits
-        eq = jnp.zeros((8, br), jnp.int32)
-        for b in range(4):
-            eq = jnp.where(c == b, peq_cols[b], eq)
-        xv = eq | mv
-        xh = (((eq & pv) + pv) ^ pv) | eq
-        ph = mv | ~(xh | pv)
-        mh = pv & xh
-        score = score + ((ph & high) != 0).astype(jnp.int32)
-        score = score - ((mh & high) != 0).astype(jnp.int32)
-        ph = ph << 1
-        mh = mh << 1
-        pv = mh | ~(xv | ph)
-        mv = ph & xv
-        j = l * cl + jj
-        valid = j < lens  # (1, BR), broadcasts over the pattern sublanes
-        improve = valid & (score < d)
-        tie = valid & (score == d)
-        d = jnp.where(improve, score, d)
-        mx = jnp.where(improve | tie, j, mx)
-        new_slots = []
-        for k in range(SLOTS_K):
-            sk = slots[k]
-            sk = jnp.where(improve, j if k == 0 else -1, sk)
-            sk = jnp.where(tie & (cnt == k), j, sk)
-            new_slots.append(sk)
-        cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
-        return (pv, mv, score, d, cnt, mx, *new_slots)
+    def body(jq, carry):
+        # One dynamic row load per FOUR characters: the packed word already
+        # holds them, and unrolling quadruples the vector work per loop
+        # iteration (load-to-use and loop-bookkeeping stalls amortize 4x).
+        row = tx32_ref[pl.ds(jq, 1), :]  # (1, BR) packed word
+        for k in range(4):
+            pv, mv, score, d, cnt, mx, *slots = carry  # each (8, BR)
+            c = (row >> (2 * k)) & 3  # sign-extension safe: low 2 bits
+            eq = jnp.zeros((8, br), jnp.int32)
+            for b in range(4):
+                eq = jnp.where(c == b, peq_cols[b], eq)
+            xv = eq | mv
+            xh = (((eq & pv) + pv) ^ pv) | eq
+            ph = mv | ~(xh | pv)
+            mh = pv & xh
+            score = score + ((ph & high) != 0).astype(jnp.int32)
+            score = score - ((mh & high) != 0).astype(jnp.int32)
+            ph = ph << 1
+            mh = mh << 1
+            pv = mh | ~(xv | ph)
+            mv = ph & xv
+            j = l * cl + jq * 4 + k
+            valid = j < lens  # (1, BR), broadcasts over the pattern sublanes
+            improve = valid & (score < d)
+            tie = valid & (score == d)
+            d = jnp.where(improve, score, d)
+            mx = jnp.where(improve | tie, j, mx)
+            new_slots = []
+            for kk in range(SLOTS_K):
+                sk = slots[kk]
+                sk = jnp.where(improve, j if kk == 0 else -1, sk)
+                sk = jnp.where(tie & (cnt == kk), j, sk)
+                new_slots.append(sk)
+            cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
+            carry = (pv, mv, score, d, cnt, mx, *new_slots)
+        return carry
 
     init = tuple(st_ref[i] for i in range(_NST))
-    fin = jax.lax.fori_loop(0, cl, body, init)
+    fin = jax.lax.fori_loop(0, cl // 4, body, init)
     for i in range(_NST):
         st_ref[i] = fin[i]
 
@@ -155,6 +160,7 @@ def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
     int32 -> (N_OUT, B) int32."""
     B = text.shape[1]
     cl = min(CHUNK_L, l_total)
+    assert cl % 4 == 0, cl  # the DP loop unrolls one packed word (4 chars)
     n_lchunks = cdiv(l_total, cl)
     kernel = functools.partial(_kernel, m=m, cl=cl, n_lchunks=n_lchunks)
     return pl.pallas_call(

@@ -214,8 +214,15 @@ def _run(args, stats) -> None:
     else:
         outfile = open_out(args.outfile, force_gzip=True)
         print(f"Writng to {outfile}", file=sys.stderr)
-        for row in _rows():
-            outfile.write(row)
+        # batched writes: 50K per-row TextIOWrapper.write calls cost ~0.3s
+        import itertools
+
+        rows = _rows()
+        while True:
+            chunk = list(itertools.islice(rows, 8192))
+            if not chunk:
+                break
+            outfile.write("".join(chunk))
         if outfile is not sys.stdout:
             outfile.close()
 
