@@ -138,7 +138,7 @@ def _stage_rates():
     ours = _load("BENCH_STAGES.json")
     ref = _load("REF_MEASURED.json")
     out = {}
-    for s in ("lr", "sr", "alt"):
+    for s in ("lr", "sr", "alt", "alt_device"):
         if s not in ours:
             continue
         e = {
@@ -148,20 +148,21 @@ def _stage_rates():
             "backend": ours[s].get("backend"),
             "measured": ours[s].get("date"),
         }
-        if s in ref:
+        rs = "alt" if s == "alt_device" else s  # same reference baseline
+        if rs in ref:
             if s == "lr":
                 # stage-1 envelope: 32 threads (Snakefile:84-87), ideal scaling
-                base = ref[s]["value"] * 32
+                base = ref[rs]["value"] * 32
                 e["baseline"] = f"{base:.0f} reads/s (native-Myers ref x32)"
             elif s == "sr":
                 # htslib-class speed of light: single-stream BGZF inflate
-                base = ref[s]["inflate_alns_per_s"]
+                base = ref[rs]["inflate_alns_per_s"]
                 e["baseline"] = (
                     f"{base:.0f} alns/s (single-stream zlib inflate bound)"
                 )
             else:
                 # alt stage 2 is single-threaded in the reference
-                base = ref[s]["value"]
+                base = ref[rs]["value"]
                 e["baseline"] = f"{base:.0f} rows/s (native-AC ref, 1 thread)"
             e["vs_baseline"] = round(ours[s]["value"] / base, 2)
         out[s] = e

@@ -367,13 +367,14 @@ def _collect_ties(best_t, target_np, sub, n_pat: int, ties: dict) -> None:
         if c <= k:
             ties[int(sub[r])] = idx[r, :c].astype(np.int64)
     overflow = np.flatnonzero(cnt > k)
-    while overflow.size:
-        k = min(max(int(cnt[overflow].max()), 2 * k), n_pat)
+    if overflow.size:
+        # one escalation suffices: cnt is exact, so k = max(cnt) covers
+        # every overflowing read (cnt <= n_pat by construction)
+        k = int(cnt[overflow].max())
         _, idx2 = _topk_hits(best_t, target, n_pat, k)
         idx2 = np.asarray(idx2)
         for r in overflow:
             ties[int(sub[r])] = idx2[r, : int(cnt[r])].astype(np.int64)
-        overflow = np.array([], dtype=np.int64)
 
 
 def _best_matrix_jnp_t(seg_codes: np.ndarray, peq: np.ndarray, m: int):

@@ -9,17 +9,33 @@ nondeterministic imap_unordered arrival order (scTagger.py:445,474); with
 -t 1 it reduces to the sequential scan's first-appearance order, which is
 what the native reader preserves — so output matches the reference's
 single-thread run deterministically.
+
+Checkpointing (SCTAG_CHECKPOINT_DIR): the scan is batched over compressed
+byte ranges through PartStore — each batch's (barcodes, counts, firsts)
+persists as an npz part, so a crash mid-scan of a tens-of-GB BAM resumes at
+batch granularity instead of restarting (the Snakemake analog is whole-rule
+re-runs, Snakefile:61-72). The batched merge ranks by (count desc, global
+first-appearance asc), which equals the sequential scan's stable argsort —
+outputs are byte-identical with or without checkpointing.
 """
 
 from __future__ import annotations
 
+import io as _io
+import os
 import sys
 
 import numpy as np
 
 from ..core.cutoff import barcode_hist, elbow_cutoff
-from ..io.bam import extract_cb_counts
+from ..io.bam import extract_cb_counts, extract_cb_counts_range
 from ..io.tsv import open_out
+from ..pipeline.checkpoint import PartStore, job_key
+
+# compressed bytes per checkpoint batch: ~2.5 s of scan at the engine's
+# 200 MB/s — small enough that a crash loses seconds, large enough that the
+# per-batch range-scan overhead (file reopen, thread spin-up) stays <1%
+DEF_BATCH_BYTES = 512 << 20
 
 
 def run(args) -> None:
@@ -32,11 +48,20 @@ def run(args) -> None:
         top, total = merged
         top = top[: args.max_barcode_cnt]
     else:
-        barcodes, counts, total = extract_cb_counts(args.input)
+        # the scan itself is parameter-free (thresh/step/cap only affect the
+        # cheap post-processing), so parts survive parameter tweaks
+        store = PartStore(
+            "extract_sr_bc", job_key("extract_sr_bc", [args.input], {"v": 1})
+        )
+        if store.enabled:
+            top, total = _extract_checkpointed(args, store)
+            top = top[: args.max_barcode_cnt]
+        else:
+            barcodes, counts, total = extract_cb_counts(args.input)
 
-        print("\n=====\nCounting and sorting barcodes")
-        order = np.argsort(-counts, kind="stable")[: args.max_barcode_cnt]
-        top = [(barcodes[i], int(counts[i])) for i in order]
+            print("\n=====\nCounting and sorting barcodes")
+            order = np.argsort(-counts, kind="stable")[: args.max_barcode_cnt]
+            top = [(barcodes[i], int(counts[i])) for i in order]
 
     hist = barcode_hist(top, total=total, step_size=args.step_size)
     last_idx = elbow_cutoff(hist, n_barcodes=len(top), thresh=args.thresh)
@@ -59,6 +84,102 @@ def run(args) -> None:
         outfile.close()
 
 
+def _bam_threads() -> int:
+    """Match the native default (bam_reader.cpp sctag_extract_cb): cores+1."""
+    nt = os.environ.get("SCTAG_BAM_THREADS")
+    return int(nt) if nt else (os.cpu_count() or 1) + 1
+
+
+def _merge_counts(parts) -> tuple[list[tuple[str, int]], int]:
+    """Merge per-range scan results into the global ranking.
+
+    ``parts``: iterable of (barcodes, counts, firsts, total, kept) in scan
+    order. Counts sum; each barcode's global first-appearance index is the
+    min of (earlier parts' kept-record offset + local first), so ranking by
+    (count desc, first asc) reproduces the sequential Counter insertion
+    order byte-identically (scTagger.py:473-476 single-thread semantics)."""
+    agg: dict[str, list[int]] = {}
+    total_all = 0
+    kept_off = 0
+    for barcodes, counts, firsts, total, kept in parts:
+        total_all += total
+        for b, c, f in zip(barcodes, counts.tolist(), firsts.tolist()):
+            g = kept_off + f
+            e = agg.get(b)
+            if e is None:
+                agg[b] = [c, g]
+            else:
+                e[0] += c
+                if g < e[1]:
+                    e[1] = g
+        kept_off += kept
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[1][1]))
+    return [(b, v[0]) for b, v in ranked], total_all
+
+
+def _extract_checkpointed(args, store: PartStore):
+    """Batched whole-file scan with per-range npz parts (resume unit)."""
+    from ..io.bam import bam_file_size
+
+    size = bam_file_size(args.input)
+    batch = int(os.environ.get("SCTAG_SR_BATCH_BYTES", DEF_BATCH_BYTES))
+    n_batches = max(1, -(-size // batch))
+    bounds = [size * i // n_batches for i in range(n_batches + 1)]
+    nthreads = _bam_threads()
+    parts = []
+    spill = 0
+    for i in range(n_batches):
+        if store.has(i, "npz"):
+            d = store.load_arrays(i)
+            raw = d["barcodes"].tobytes().decode()
+            barcodes = raw.split("\n") if raw else []
+            total, kept, spill = (int(x) for x in d["meta"])
+            parts.append((barcodes, d["counts"], d["firsts"], total, kept))
+            continue
+        barcodes, counts, firsts, total, kept, sp = extract_cb_counts_range(
+            args.input, bounds[i], bounds[i + 1], spill,
+            parse_header=(i == 0), nthreads=nthreads,
+        )
+        store.save_arrays(
+            i,
+            barcodes=np.frombuffer("\n".join(barcodes).encode(), np.uint8),
+            counts=counts,
+            firsts=firsts,
+            meta=np.array([total, kept, sp], np.int64),
+        )
+        spill = sp
+        parts.append((barcodes, counts, firsts, total, kept))
+    print("\n=====\nCounting and sorting barcodes")
+    return _merge_counts(parts)
+
+
+def _pack_counts(barcodes, counts, firsts, total: int, kept: int) -> bytes:
+    """Binary npz payload for the multi-host gather: ~10x smaller than the
+    JSON dict it replaced and parsed as arrays, not Python objects."""
+    buf = _io.BytesIO()
+    np.savez_compressed(
+        buf,
+        barcodes=np.frombuffer("\n".join(barcodes).encode(), np.uint8),
+        counts=np.asarray(counts, np.int64),
+        firsts=np.asarray(firsts, np.int64),
+        meta=np.array([total, kept], np.int64),
+    )
+    return buf.getvalue()
+
+
+def _unpack_counts(blob: bytes):
+    with np.load(_io.BytesIO(blob)) as z:
+        raw = z["barcodes"].tobytes().decode()
+        barcodes = raw.split("\n") if raw else []
+        return (
+            barcodes,
+            z["counts"],
+            z["firsts"],
+            int(z["meta"][0]),
+            int(z["meta"][1]),
+        )
+
+
 def _extract_multi(args, n_hosts: int):
     """Sharded BAM scan over N hosts (VERDICT r1 #4): each host inflates and
     parses a contiguous compressed byte range (block-aligned in the native
@@ -67,15 +188,12 @@ def _extract_multi(args, n_hosts: int):
     so inflation — the expensive part — runs fully parallel and only the tiny
     skip offsets serialize.
 
-    The merge reconstructs the exact single-host output: counts sum, and the
-    global first-appearance index of each barcode (earlier shards' kept
-    counts + local first index) reproduces the sequential Counter insertion
-    order, so ranking by (count desc, first asc) is byte-identical.
+    The merge (_merge_counts) reconstructs the exact single-host output;
+    payloads are binary npz blobs (counts/firsts arrays + a newline-joined
+    barcode blob), not JSON text.
 
     Returns (top, total) on host 0, None elsewhere."""
-    import json
-
-    from ..io.bam import bam_file_size, extract_cb_counts_range
+    from ..io.bam import bam_file_size
     from ..parallel.multihost import make_host_group
 
     h = args.host_id
@@ -91,32 +209,8 @@ def _extract_multi(args, n_hosts: int):
     )
     if h + 1 < n_hosts:
         group.put_bytes(f"spill.h{h + 1}", int(spill).to_bytes(8, "little"))
-    payload = json.dumps({
-        "barcodes": barcodes,
-        "counts": counts.tolist(),
-        "firsts": firsts.tolist(),
-        "total": total,
-        "kept": kept,
-    }).encode()
+    payload = _pack_counts(barcodes, counts, firsts, total, kept)
     parts = group.gather_bytes("srcounts", payload)
     if parts is None:
         return None
-    # host 0: merge with globalized first-appearance indices
-    agg: dict[str, list[int]] = {}
-    total_all = 0
-    kept_off = 0
-    for blob in parts:
-        d = json.loads(blob)
-        total_all += d["total"]
-        for b, c, f in zip(d["barcodes"], d["counts"], d["firsts"]):
-            g = kept_off + f
-            e = agg.get(b)
-            if e is None:
-                agg[b] = [c, g]
-            else:
-                e[0] += c
-                if g < e[1]:
-                    e[1] = g
-        kept_off += d["kept"]
-    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[1][1]))
-    return [(b, v[0]) for b, v in ranked], total_all
+    return _merge_counts(_unpack_counts(blob) for blob in parts)

@@ -197,3 +197,60 @@ def test_extract_sr_bc_from_lr_checkpoint_resume(tmp_path, monkeypatch):
     cli_main([*argv, "-o", str(out2)])
     assert len(calls) == 0
     assert gzip.open(out2, "rb").read() == gzip.open(base_out, "rb").read()
+
+
+def test_extract_sr_bc_checkpoint_resume(tmp_path, monkeypatch):
+    """Stage-2 BAM scan resumes at compressed-byte-range granularity,
+    including a kill mid-scan (VERDICT r2 #5)."""
+    import sctagger_tpu.stages.extract_sr_bc as s2_mod
+    from test_stage2_golden import _make_bam
+
+    rng = np.random.default_rng(94)
+    path, *_ = _make_bam(tmp_path, rng, n_alns=4000)
+
+    argv = ["extract_sr_bc", "-i", path, "-t", "1"]
+    base_out = tmp_path / "base.tsv.gz"
+    cli_main([*argv, "-o", str(base_out)])
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SCTAG_CHECKPOINT_DIR", str(ckpt))
+    # ~4 batches on a tiny synthetic BAM
+    import os
+
+    batch = max(1, os.path.getsize(path) // 4)
+    monkeypatch.setenv("SCTAG_SR_BATCH_BYTES", str(batch))
+
+    calls = []
+    real = s2_mod.extract_cb_counts_range
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    # killed mid-scan: the 3rd batch raises; 2 parts survive on disk
+    def dying(*a, **k):
+        if len(calls) >= 2:
+            raise KeyboardInterrupt("killed mid-scan")
+        return counting(*a, **k)
+
+    monkeypatch.setattr(s2_mod, "extract_cb_counts_range", dying)
+    with pytest.raises(KeyboardInterrupt):
+        cli_main([*argv, "-o", str(tmp_path / "dead.tsv.gz")])
+    n_parts = len(list(ckpt.glob("extract_sr_bc-*/part*.npz")))
+    assert n_parts == 2
+
+    # resume: only the remaining batches recompute; output byte-identical
+    calls.clear()
+    monkeypatch.setattr(s2_mod, "extract_cb_counts_range", counting)
+    out1 = tmp_path / "c1.tsv.gz"
+    cli_main([*argv, "-o", str(out1)])
+    n_batches = n_parts + len(calls)
+    assert len(calls) == n_batches - 2 and n_batches >= 4
+    assert gzip.open(out1, "rb").read() == gzip.open(base_out, "rb").read()
+
+    # fully cached: zero range scans
+    calls.clear()
+    out2 = tmp_path / "c2.tsv.gz"
+    cli_main([*argv, "-o", str(out2)])
+    assert len(calls) == 0
+    assert gzip.open(out2, "rb").read() == gzip.open(base_out, "rb").read()

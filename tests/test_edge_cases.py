@@ -262,3 +262,23 @@ def test_sortjoin_probe_empty_table():
         jnp.asarray(np.array([[True, True]])),
     )
     assert not np.asarray(h).any()
+
+
+def test_tie_overflow_single_escalation():
+    """A tie set > 2*TOPK_INIT pins the (single) escalation in _collect_ties:
+    40 duplicate barcodes tie the same segment at d=0, overflowing both the
+    kernel/initial top-k (TIES_K=8, TOPK_INIT=16) so k jumps straight to
+    max(cnt)=40 in one pass (VERDICT r2 #6)."""
+    from sctagger_tpu.models.matcher import TOPK_INIT, match_segments
+
+    bc = "ACGTTGCAGTCAGTCA"  # 16 bp, not self-revcomp
+    n_dup = 2 * TOPK_INIT + 8
+    barcodes = [bc] * n_dup + [random_dna(np.random.default_rng(3), 16)
+                               for _ in range(5)]
+    res = match_segments([bc, "TTTTTTTTTTTTTTTT"], barcodes, max_error=0)
+    row = int(np.searchsorted(res.rids, 0))
+    assert res.rids[row] == 0 and res.dists[row] == 0
+    ties = res.ties_of(row)
+    # forward strand of every duplicate bid: pattern id 2*bid+1, ascending
+    assert ties.tolist() == [2 * b + 1 for b in range(n_dup)]
+    assert int(res.tie_counts[row]) == n_dup

@@ -159,28 +159,37 @@ def bench_sr(n_alns: int) -> None:
     })
 
 
-def bench_alt(n_rows: int, n_whitelist: int) -> None:
+def bench_alt(n_rows: int, n_whitelist: int, probe: str = "host") -> None:
+    """One row per probe. The CLI default is the HOST C++ hash probe
+    (cli.py marks the stage host-only unless SCTAG_PROBE=device), so the
+    default row's backend is host-c++, NOT the jax backend; probe="device"
+    benches the on-device binary-search kernel as a second honest entry."""
     from measure_reference import make_alt_fixture
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="sctag_ouralt_"))
     n_wl = make_alt_fixture(tmp, n_rows, n_whitelist)
     argv = ["extract_sr_bc_from_lr", "-i", str(tmp / "lr.tsv"),
             "-wl", str(tmp / "wl.txt.gz"), "-o", str(tmp / "out.tsv.gz")]
-    cold, dt = _run_cli_steady(argv)
-    _record("alt", {
+    os.environ["SCTAG_PROBE"] = probe  # _env() snapshots os.environ
+    try:
+        cold, dt = _run_cli_steady(argv)
+    finally:
+        del os.environ["SCTAG_PROBE"]
+    _record("alt" if probe == "host" else f"alt_{probe}", {
         "value": round(n_rows / dt, 2),
         "unit": "rows/s",
         "n_rows": n_rows,
         "n_whitelist": n_wl,
         "wall_s": round(dt, 1),
         "cold_wall_s": round(cold, 1),
-        "backend": _backend(),
+        "backend": "host-c++" if probe == "host" else _backend(),
+        "probe": probe,
     })
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("stage", choices=["lr", "sr", "alt", "all"],
+    ap.add_argument("stage", choices=["lr", "sr", "alt", "alt_device", "all"],
                     nargs="?", default="all")
     ap.add_argument("-n", type=int, default=None)
     ap.add_argument("--read-len", type=int, default=2000)
@@ -191,7 +200,9 @@ def main():
     if a.stage in ("sr", "all"):
         bench_sr(a.n or 2_000_000)
     if a.stage in ("alt", "all"):
-        bench_alt(a.n or 1_000_000, a.whitelist)
+        bench_alt(a.n or 1_000_000, a.whitelist, probe="host")
+    if a.stage in ("alt_device", "all"):
+        bench_alt(a.n or 1_000_000, a.whitelist, probe="device")
 
 
 if __name__ == "__main__":
