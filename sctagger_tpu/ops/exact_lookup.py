@@ -226,6 +226,12 @@ def probe_segments(
         "use_sortjoin": os.environ.get("SCTAG_SORTJOIN") == "1"
         and jax.default_backend() == "tpu"
     }
+    # multi-device processes shard query rows over the local ('data',) mesh
+    # (table replicated) — the alt-stage analog of the match/scan drivers'
+    # production mesh path
+    from ..parallel.mesh import local_mesh, shard_probe
+
+    mesh = local_mesh(model_parallel=1)
 
     def probe(qk, qv):
         if state["use_sortjoin"]:
@@ -238,6 +244,14 @@ def probe_segments(
                     file=sys.stderr,
                 )
                 state["use_sortjoin"] = False
+        if mesh is not None:
+            nd = mesh.shape["data"]
+            rows = qk.shape[0]
+            rp = -(-rows // nd) * nd
+            if rp != rows:  # pad rows with invalid windows (hit=False)
+                qk = jnp.pad(qk, ((0, rp - rows), (0, 0)))
+                qv = jnp.pad(qv, ((0, rp - rows), (0, 0)))
+            return shard_probe(mesh, sk, vv, qk, qv)
         return _probe(sk, vv, qk, qv)
     # one padded length for every chunk: a single compiled probe shape
     # (each distinct shape costs a full remote compile on the axon backend).

@@ -268,6 +268,39 @@ def shard_hw_block(mesh, text_T, peq2, lengths, m: int):
 
 
 # ---------------------------------------------------------------------------
+# Alt stage 2: exact whitelist probe over the mesh
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _probe_sharded(sorted_keys, values, qkeys, qvalid, mesh):
+    from ..ops.exact_lookup import _probe
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None), P(None), P("data", None), P("data", None)),
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False,
+    )
+    def step(sk, vv, qk, qv):
+        return _probe(sk, vv, qk, qv)
+
+    return step(sorted_keys, values, qkeys, qvalid)
+
+
+def shard_probe(mesh, sorted_keys, values, qkeys, qvalid):
+    """Device binary-search probe (ops/exact_lookup._probe) with query rows
+    sharded over 'data' and the whitelist table replicated (it is small:
+    ~24 MB packed for the 3M 10x list, broadcast once per jit). Caller pads
+    rows to a data-axis multiple; padded rows must be qvalid=False."""
+    assert mesh.shape["model"] == 1, mesh.shape  # table replicated
+    assert qkeys.shape[0] % mesh.shape["data"] == 0, (qkeys.shape, mesh.shape)
+    _count(mesh)
+    return _probe_sharded(sorted_keys, values, qkeys, qvalid, mesh)
+
+
+# ---------------------------------------------------------------------------
 # Cross-process collectives (multihost.HostGroup's jax transport)
 # ---------------------------------------------------------------------------
 
