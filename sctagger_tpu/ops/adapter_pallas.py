@@ -1,7 +1,7 @@
 """Pallas TPU kernel for stage-1 adapter scanning (replaces edlib HW).
 
 One pass over each read computes, for BOTH the adapter and its reverse
-complement simultaneously (the reference runs two edlib calls per read,
+complement (the reference runs two edlib calls per read,
 scTagger.py:180-181):
 
   d        min infix edit distance over valid positions,
@@ -9,22 +9,29 @@ scTagger.py:180-181):
   max_pos  the largest optimal end position,
   s0..s3   the first SLOTS_K optimal end positions (ascending).
 
-The first-K collection uses reset-on-improve registers, so no (L x B) score
-or mask arrays ever exist: per-read output is N_OUT ints. Reads with
-cnt > SLOTS_K (multi-site adapter hits, rare) are re-processed by the jnp
-mask fallback in models/adapter.py.
+The first-K collection uses running registers against the current min, so no
+(L x B) score or mask arrays ever exist: per-read output is N_OUT ints. Reads
+with cnt > SLOTS_K (multi-site adapter hits, rare) are re-processed by the
+jnp mask fallback in models/adapter.py.
 
-Layout (v2 — mirrors the roofline-speed match kernel, ops/match_pallas.py):
-reads ride the LANE axis as position-major 2-D text (L, B) int8; each block
-bulk-converts its (CHUNK_L, BLOCK_READS) int8 text to an int32 VMEM scratch
-once, then the DP loop reads one (1, BLOCK_READS) row per character via a
-dynamic sublane slice — the exact access pattern the match kernel proved
-fast. The two patterns (adapter fwd + rc) sit on SUBLANES of the (8, B)
-state, so one Myers step advances both strands at once. The v1 layout
-((L, B/128, 8, 128) read-tiles with a per-char dynamic squeeze-index into a
-3-D int8 block) ran ~500x below the VPU instruction roofline; six structural
-variants of it all lost (ROADMAP.md) — the 2-D int32-scratch row access is
-the structural fix.
+Layout (v3 — every state sublane does real work):
+v2 mirrored the match kernel (position-major (L, B) int8 text, bulk int8 ->
+int32 VMEM convert, per-char (1, B) dynamic sublane row loads) but carried
+only the 2 patterns on sublanes 0-1 of its (8, B) state — 6 of 8 sublanes
+idle in every vector op. v3 interleaves EIGHT read-groups on the sublanes
+instead: text rows are (word, group)-interleaved so one aligned (8, LANES)
+dynamic slice yields packed word jq of all 8 groups, and the DP state is
+(8, LANES) with sublane g = read-group g. The two patterns run as two
+sequential passes over the same VMEM-resident int32 scratch (text converts
+once; HBM is not re-read), so per char the kernel now advances 8 reads x 1
+pattern per ~50 vector ops instead of 1 read x 2 patterns — a 4x win in
+useful lanes for ~2x pass count. Same access-pattern class the v1->v2
+rewrite proved fast (ROADMAP.md); the slice start jq*8 is tile-aligned.
+
+Read ordering: read r lives at (block, group, lane) =
+(r // BLOCK_READS, (r // BLOCK_LANES) % GROUPS, r % BLOCK_LANES); the 3-D
+output (N_OUT, GROUPS, n_blk*BLOCK_LANES) is re-flattened to read order on
+the host (unpack_scan_out) — no device relayouts anywhere.
 
 Grid = (read_blocks, L_chunks) with the L axis innermost so the DP state
 lives in scratch across chunks (TPU grids execute sequentially). Validity
@@ -35,6 +42,7 @@ positions (a never-matching pad char CAN tie the running min).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +56,12 @@ from .myers import high_bit
 SLOTS_K = 4
 N_OUT = 16  # rows [d, cnt, max, s0..s3] x 2 patterns = 14, padded to 16
 CHUNK_L = 512
-BLOCK_READS = 1024  # lanes per block
-_NST = 6 + SLOTS_K  # state rows: pv, mv, score, d, cnt, mx, slots
+GROUPS = 8  # read-groups interleaved on the state sublanes
+# lanes per block; tunable for register-pressure experiments (the DP carry is
+# ~17 live (8, LANES) values = 17 * LANES/128 vregs)
+BLOCK_LANES = int(os.environ.get("SCTAG_ADAPTER_LANES", "1024"))
+BLOCK_READS = GROUPS * BLOCK_LANES  # reads per block = batch granularity
+_NST = 6 + SLOTS_K  # per-pattern state rows: pv, mv, score, d, cnt, mx, slots
 
 
 def _high_const(m: int) -> jnp.ndarray:
@@ -61,94 +73,112 @@ def _high_const(m: int) -> jnp.ndarray:
 
 
 def _kernel(
-    text_ref,  # (CL/4, BR) int8: 2-bit packed, char j at row j>>2 bits 2*(j&3)
-    len_ref,  # (1, BR) int32
-    peq_ref,  # (8, 8) int32: row p = pattern p's Peq, cols 0..3 = base codes
-    out_ref,  # (N_OUT, BR) int32
-    st_ref,  # scratch (_NST, 8, BR) int32
-    tx32_ref,  # scratch (CL/4, BR) int32
+    text_ref,  # (CL/4 * 8, BL) int8: row jq*8+g = packed word jq of group g
+    len_ref,  # (GROUPS, BL) int32: row g = group g's read lengths
+    peq_ref,  # (16, 8) int32: rows p*8..p*8+7 = pattern p's Peq replicated
+    #           across sublanes (Mosaic can't broadcast (1,1)->(8,BL): "not
+    #           implemented: broadcast in both sublanes and lanes"), cols =
+    #           base codes
+    out_ref,  # (N_OUT, GROUPS, BL) int32
+    st_ref,  # scratch (2 * _NST, GROUPS, BL) int32
+    tx32_ref,  # scratch (CL/4 * 8, BL) int32
     *,
     m: int,
     cl: int,
     n_lchunks: int,
 ):
     l = pl.program_id(1)
-    br = text_ref.shape[1]
+    bl = len_ref.shape[1]
 
     @pl.when(l == 0)
     def _():
-        st_ref[0] = jnp.full((8, br), -1, jnp.int32)  # pv
-        st_ref[1] = jnp.zeros((8, br), jnp.int32)  # mv
-        st_ref[2] = jnp.full((8, br), m, jnp.int32)  # score
-        st_ref[3] = jnp.full((8, br), m, jnp.int32)  # d (running min)
-        st_ref[4] = jnp.zeros((8, br), jnp.int32)  # cnt
-        st_ref[5] = jnp.full((8, br), -1, jnp.int32)  # max pos
-        for k in range(SLOTS_K):
-            st_ref[6 + k] = jnp.full((8, br), -1, jnp.int32)
+        for p in range(2):
+            o = p * _NST
+            st_ref[o + 0] = jnp.full((GROUPS, bl), -1, jnp.int32)  # pv
+            st_ref[o + 1] = jnp.zeros((GROUPS, bl), jnp.int32)  # mv
+            st_ref[o + 2] = jnp.full((GROUPS, bl), m, jnp.int32)  # score
+            st_ref[o + 3] = jnp.full((GROUPS, bl), m, jnp.int32)  # d (min)
+            st_ref[o + 4] = jnp.zeros((GROUPS, bl), jnp.int32)  # cnt
+            st_ref[o + 5] = jnp.full((GROUPS, bl), -1, jnp.int32)  # max pos
+            for k in range(SLOTS_K):
+                st_ref[o + 6 + k] = jnp.zeros((GROUPS, bl), jnp.int32)
 
-    # Bulk int8 -> int32 once per block; the per-char dynamic sublane slice
+    # Bulk int8 -> int32 once per block; the per-word dynamic sublane slice
     # below must hit an int32 tile (CLAUDE.md Mosaic gotcha + v1 postmortem).
     tx32_ref[:, :] = text_ref[:, :].astype(jnp.int32)
 
-    lens = len_ref[0:1, :]  # (1, BR)
+    lens = len_ref[:, :]  # (GROUPS, BL)
     high = _high_const(m)
-    peq_cols = [peq_ref[:, b : b + 1] for b in range(4)]  # (8, 1) each
 
-    def body(jq, carry):
-        # One dynamic row load per FOUR characters: the packed word already
-        # holds them, and unrolling quadruples the vector work per loop
-        # iteration (load-to-use and loop-bookkeeping stalls amortize 4x).
-        row = tx32_ref[pl.ds(jq, 1), :]  # (1, BR) packed word
-        for k in range(4):
-            pv, mv, score, d, cnt, mx, *slots = carry  # each (8, BR)
-            c = (row >> (2 * k)) & 3  # sign-extension safe: low 2 bits
-            eq = jnp.zeros((8, br), jnp.int32)
-            for b in range(4):
-                eq = jnp.where(c == b, peq_cols[b], eq)
-            xv = eq | mv
-            xh = (((eq & pv) + pv) ^ pv) | eq
-            ph = mv | ~(xh | pv)
-            mh = pv & xh
-            score = score + ((ph & high) != 0).astype(jnp.int32)
-            score = score - ((mh & high) != 0).astype(jnp.int32)
-            ph = ph << 1
-            mh = mh << 1
-            pv = mh | ~(xv | ph)
-            mv = ph & xv
-            j = l * cl + jq * 4 + k
-            valid = j < lens  # (1, BR), broadcasts over the pattern sublanes
-            improve = valid & (score < d)
-            tie = valid & (score == d)
-            d = jnp.where(improve, score, d)
-            mx = jnp.where(improve | tie, j, mx)
-            new_slots = []
-            for kk in range(SLOTS_K):
-                sk = slots[kk]
-                sk = jnp.where(improve, j if kk == 0 else -1, sk)
-                sk = jnp.where(tie & (cnt == kk), j, sk)
-                new_slots.append(sk)
-            cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
-            carry = (pv, mv, score, d, cnt, mx, *new_slots)
-        return carry
+    for p in range(2):  # fwd pass, then rc pass, over the same scratch text
+        o = p * _NST
+        # pattern p's Peq per base as sublane-replicated (8, 1) columns
+        # (every sublane is the same pattern now; lanes-only broadcast)
+        pA = peq_ref[p * 8 : p * 8 + 8, 0:1]
+        pC = peq_ref[p * 8 : p * 8 + 8, 1:2]
+        pG = peq_ref[p * 8 : p * 8 + 8, 2:3]
+        pT = peq_ref[p * 8 : p * 8 + 8, 3:4]
 
-    init = tuple(st_ref[i] for i in range(_NST))
-    fin = jax.lax.fori_loop(0, cl // 4, body, init)
-    for i in range(_NST):
-        st_ref[i] = fin[i]
+        def body(jq, carry, pA=pA, pC=pC, pG=pG, pT=pT):
+            # One aligned (8, BL) slice per FOUR characters: packed word jq
+            # of every read-group; unrolling keeps 4 chars of vector work
+            # per loop iteration (load-to-use and bookkeeping amortize 4x).
+            row = tx32_ref[pl.ds(jq * 8, 8), :]  # (GROUPS, BL) packed words
+            for k in range(4):
+                pv, mv, score, d, cnt, mx, *slots = carry  # each (GROUPS, BL)
+                # 2-bit base decode as a select tree (3 selects, vs 4
+                # compare+selects for the code-equality chain)
+                b0 = (row & (1 << (2 * k))) != 0
+                b1 = (row & (2 << (2 * k))) != 0
+                eq = jnp.where(b1, jnp.where(b0, pT, pG), jnp.where(b0, pC, pA))
+                xv = eq | mv
+                xh = (((eq & pv) + pv) ^ pv) | eq
+                ph = mv | ~(xh | pv)
+                mh = pv & xh
+                score = score + ((ph & high) != 0).astype(jnp.int32)
+                score = score - ((mh & high) != 0).astype(jnp.int32)
+                ph = ph << 1
+                mh = mh << 1
+                pv = mh | ~(xv | ph)
+                mv = ph & xv
+                j = l * cl + jq * 4 + k
+                valid = j < lens  # (GROUPS, BL)
+                improve = valid & (score < d)
+                tie = valid & (score == d)
+                d = jnp.where(improve, score, d)
+                mx = jnp.where(improve | tie, j, mx)
+                # slots >= the final cnt are never read (the host unpack
+                # masks karange < cnt), so improve need not clear old slots:
+                # slot 0 takes j on improve OR first-tie, slot k on k-th tie
+                new_slots = [
+                    jnp.where(improve | (tie & (cnt == 0)), j, slots[0])
+                ]
+                for kk in range(1, SLOTS_K):
+                    new_slots.append(
+                        jnp.where(tie & (cnt == kk), j, slots[kk])
+                    )
+                cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
+                carry = (pv, mv, score, d, cnt, mx, *new_slots)
+            return carry
+
+        init = tuple(st_ref[o + i] for i in range(_NST))
+        fin = jax.lax.fori_loop(0, cl // 4, body, init)
+        for i in range(_NST):
+            st_ref[o + i] = fin[i]
 
     @pl.when(l == n_lchunks - 1)
     def _():
-        # state sublane p -> output rows [base+0..base+6] for p in (0, 1)
+        # pattern p's state rows -> output rows [base..base+6]; each write is
+        # a whole (GROUPS, BL) state array (no sublane extraction)
         for p, base in ((0, 0), (1, 7)):
-            out_ref[base + 0 : base + 1, :] = st_ref[3, p : p + 1, :]
-            out_ref[base + 1 : base + 2, :] = st_ref[4, p : p + 1, :]
-            out_ref[base + 2 : base + 3, :] = st_ref[5, p : p + 1, :]
+            o = p * _NST
+            out_ref[base + 0] = st_ref[o + 3]
+            out_ref[base + 1] = st_ref[o + 4]
+            out_ref[base + 2] = st_ref[o + 5]
             for k in range(SLOTS_K):
-                out_ref[base + 3 + k : base + 4 + k, :] = st_ref[
-                    6 + k, p : p + 1, :
-                ]
-        out_ref[14:15, :] = jnp.zeros((1, br), jnp.int32)
-        out_ref[15:16, :] = jnp.zeros((1, br), jnp.int32)
+                out_ref[base + 3 + k] = st_ref[o + 6 + k]
+        out_ref[14] = jnp.zeros((GROUPS, bl), jnp.int32)
+        out_ref[15] = jnp.zeros((GROUPS, bl), jnp.int32)
 
 
 @functools.partial(
@@ -156,45 +186,50 @@ def _kernel(
 )
 def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
                        interpret: bool = False):
-    """text: (L/4, B) int8 2-bit packed; lens: (1, B) int32; peq_in: (8, 8)
-    int32 -> (N_OUT, B) int32."""
-    B = text.shape[1]
+    """text: (l_total/4 * 8, B/8) int8 group-interleaved 2-bit packed rows;
+    lens: (GROUPS, B/8) int32; peq_in: (8, 8) int32
+    -> (N_OUT, GROUPS, B/8) int32."""
+    BL_total = text.shape[1]  # = B / GROUPS lanes
     cl = min(CHUNK_L, l_total)
     assert cl % 4 == 0, cl  # the DP loop unrolls one packed word (4 chars)
     n_lchunks = cdiv(l_total, cl)
     kernel = functools.partial(_kernel, m=m, cl=cl, n_lchunks=n_lchunks)
     return pl.pallas_call(
         kernel,
-        grid=(B // BLOCK_READS, n_lchunks),
+        grid=(BL_total // BLOCK_LANES, n_lchunks),
         in_specs=[
             pl.BlockSpec(
-                (cl // 4, BLOCK_READS), lambda i, l: (l, i),
+                (cl // 4 * 8, BLOCK_LANES), lambda i, l: (l, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, BLOCK_READS), lambda i, l: (0, i),
+                (GROUPS, BLOCK_LANES), lambda i, l: (0, i),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((8, 8), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 8), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (N_OUT, BLOCK_READS), lambda i, l: (0, i),
+            (N_OUT, GROUPS, BLOCK_LANES), lambda i, l: (0, 0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((N_OUT, B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((N_OUT, GROUPS, BL_total), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((_NST, 8, BLOCK_READS), jnp.int32),
-            pltpu.VMEM((cl // 4, BLOCK_READS), jnp.int32),
+            pltpu.VMEM((2 * _NST, GROUPS, BLOCK_LANES), jnp.int32),
+            pltpu.VMEM((cl // 4 * 8, BLOCK_LANES), jnp.int32),
         ],
         interpret=interpret,
     )(text, lens, peq_in)
 
 
 def _peq_input(peq2: np.ndarray) -> np.ndarray:
-    """(5, 2) base-major int32 Peq -> (8, 8) pattern-major kernel input
-    (row p = pattern p's Peq over base codes; two's-complement bits kept)."""
-    out = np.zeros((8, 8), dtype=np.int32)
-    out[:2, :5] = np.asarray(peq2, dtype=np.int32).T
+    """(5, 2) base-major int32 Peq -> (16, 8) kernel input: rows p*8..p*8+7
+    all hold pattern p's Peq over base codes (sublane-replicated so the
+    kernel's per-base operands are lanes-only broadcasts; two's-complement
+    bits kept)."""
+    out = np.zeros((16, 8), dtype=np.int32)
+    t = np.asarray(peq2, dtype=np.int32).T  # (2, 5)
+    out[0:8, :5] = t[0]
+    out[8:16, :5] = t[1]
     return out
 
 
@@ -239,7 +274,7 @@ def adapter_scan_dispatch(
     """Async variant: returns the device output WITHOUT syncing, so callers
     can overlap host encoding with device compute. Convert with np.asarray
     and feed unpack_scan_out(out, B). With ``mesh`` (parallel/mesh.py), the
-    read lanes are sharded over the mesh's data axis (b_pad must then be a
+    read blocks are sharded over the mesh's data axis (b_pad must then be a
     multiple of n_data * BLOCK_READS)."""
     B, L = codes.shape
     l_total = pad_len(L)
@@ -276,15 +311,31 @@ def adapter_scan_dispatch_packed(
     mesh=None,
 ):
     """Dispatch from pre-packed rows: pk (B, l_total//4) uint8 row-major
-    (char j of row i at byte j>>2, bits 2*(j&3))."""
+    (char j of row i at byte j>>2, bits 2*(j&3)). Rows are riffled into the
+    kernel's (word, group)-interleaved layout here (same byte count as the
+    v2 transpose; the 2-bit wire format is unchanged)."""
     B = pk.shape[0]
-    assert pk.shape[1] * 4 == l_total, (pk.shape, l_total)
+    W = pk.shape[1]
+    assert W * 4 == l_total, (pk.shape, l_total)
     Bp = round_up(max(B, 1), BLOCK_READS) if b_pad is None else b_pad
     assert Bp % BLOCK_READS == 0 and Bp >= B, (Bp, B)
-    text = full_fast((l_total // 4, Bp), 0, np.int8)
-    text[:, :B] = pk.view(np.int8).T  # bit-pattern copy (kernel extracts &3)
-    lens = np.zeros((1, Bp), np.int32)
-    lens[0, :B] = lengths
+    nblk = Bp // BLOCK_READS
+    text = full_fast((W * 8, nblk * BLOCK_LANES), 0, np.int8)
+    pkp = pk.view(np.int8)
+    if B < Bp:  # pad rows; cheap (arena-reused for repeated chunk shapes)
+        pkp_full = np.zeros((Bp, W), np.int8)
+        pkp_full[:B] = pkp
+        pkp = pkp_full
+    # read r = (blk, g, lane) -> text[w*8 + g, blk*BL + lane]
+    text.reshape(W, 8, nblk, BLOCK_LANES)[...] = pkp.reshape(
+        nblk, 8, BLOCK_LANES, W
+    ).transpose(3, 1, 0, 2)
+    lens_flat = np.zeros(Bp, np.int32)  # read order
+    lens_flat[:B] = lengths
+    # read r = (blk, g, lane) -> lens[g, blk*BL + lane]
+    lens = np.ascontiguousarray(
+        lens_flat.reshape(nblk, 8, BLOCK_LANES).transpose(1, 0, 2)
+    ).reshape(8, nblk * BLOCK_LANES)
     peq_in = _peq_input(peq2)
     if mesh is not None:
         from ..parallel.mesh import shard_adapter_scan
@@ -304,8 +355,13 @@ def adapter_scan_dispatch_packed(
 
 
 def unpack_scan_out(out: np.ndarray, B: int):
-    """(N_OUT, B_pad) kernel output -> (fwd, rc) dicts."""
-    out = out.reshape(N_OUT, -1)[:, :B]
+    """(N_OUT, GROUPS, n_blk*BL) kernel output -> (fwd, rc) dicts in read
+    order (read r = (blk, g, lane))."""
+    n, g, c = out.shape
+    nblk = c // BLOCK_LANES
+    out = out.reshape(n, g, nblk, BLOCK_LANES).transpose(0, 2, 1, 3).reshape(
+        n, -1
+    )[:, :B]
 
     def unpack(base):
         return {

@@ -26,6 +26,7 @@ produce garbage mins that callers slice away.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,14 @@ from .myers import high_bit
 DEF_BR = 1024  # reads per block (lanes); best of tools/sweep_blocks.py
 DEF_BP = 256  # patterns per block (sublanes)
 
+# ROADMAP experiment flag (measured by tools/profile_match_variants.py):
+# SCTAG_MATCH_HB=1 turns on high-bit score accumulation by default — fuse
+# the two per-char score carry updates into one masked-subtract + arithmetic
+# shift (valid for m < 32: the ph & mh high bits are mutually exclusive, so
+# the difference is in {high, 0, -high} and >> (m-1) yields {1, 0, -1}).
+def _hb_default() -> bool:
+    return os.environ.get("SCTAG_MATCH_HB", "0") == "1"
+
 
 def _wrapped_const(value: int, wdt) -> jnp.ndarray:
     """Integer constant in word dtype ``wdt`` with two's-complement wrap
@@ -50,14 +59,18 @@ def _wrapped_const(value: int, wdt) -> jnp.ndarray:
     return jnp.asarray(np.array(value & ((1 << 64) - 1), np.uint64).astype(npdt))
 
 
-def _myers_hw_step(pv, mv, score, eq, m: int, wdt=jnp.int32):
+def _myers_hw_step(pv, mv, score, eq, m: int, wdt=jnp.int32, hb: bool = False):
     high = _wrapped_const(high_bit(m), wdt)
     xv = eq | mv
     xh = (((eq & pv) + pv) ^ pv) | eq
     ph = mv | ~(xh | pv)
     mh = pv & xh
-    score = score + ((ph & high) != 0).astype(wdt)
-    score = score - ((mh & high) != 0).astype(wdt)
+    if hb and m < 32 and wdt == jnp.int32:
+        # fused carry update: ph/mh high bits are mutually exclusive
+        score = score + (((ph & high) - (mh & high)) >> (m - 1))
+    else:
+        score = score + ((ph & high) != 0).astype(wdt)
+        score = score - ((mh & high) != 0).astype(wdt)
     ph = ph << 1
     mh = mh << 1
     pv = mh | ~(xv | ph)
@@ -80,7 +93,10 @@ def _eq_from_row(c_row, peq_cols, bp, br, wdt=jnp.int32):
     return eq
 
 
-def _dp_sweep(seg32_ref, peq_ref, *, m: int, ls: int, w16: bool = False):
+def _dp_sweep(
+    seg32_ref, peq_ref, *, m: int, ls: int, w16: bool = False, ls_dyn=None,
+    hb: bool = False,
+):
     """Myers HW sweep over all ``ls`` text rows -> per-(pattern, read) best
     infix distance, (BP, BR) int32.
 
@@ -88,6 +104,12 @@ def _dp_sweep(seg32_ref, peq_ref, *, m: int, ls: int, w16: bool = False):
     vectors fit the halfword exactly, and Myers tolerates discarded carries
     above bit m-1 (only bits < m feed the score; carries propagate upward).
     Halves the VPU register footprint of the carried state.
+
+    ``ls_dyn`` (traced scalar <= ls) stops the sweep at the block's real max
+    segment length instead of the padded ls — rows past every segment's end
+    are pad code 4 and can never lower a distance, so skipping them is exact
+    (the ROADMAP per-block early-out experiment; trades the static-bound
+    fori_loop for a dynamic-trip-count loop).
     """
     assert not w16 or m <= 16, m
     wdt = jnp.int16 if w16 else jnp.int32
@@ -102,10 +124,11 @@ def _dp_sweep(seg32_ref, peq_ref, *, m: int, ls: int, w16: bool = False):
         pv, mv, score, best = carry
         c_row = seg32_ref[pl.ds(j, 1), :].astype(wdt)  # (1, BR)
         eq = _eq_from_row(c_row, peq_cols, bp, br, wdt)
-        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m, wdt)
+        pv, mv, score = _myers_hw_step(pv, mv, score, eq, m, wdt, hb=hb)
         return pv, mv, score, jnp.minimum(best, score)
 
-    _, _, _, best = jax.lax.fori_loop(0, ls, body, (pv0, mv0, s0, s0))
+    bound = ls if ls_dyn is None else jnp.minimum(ls_dyn, ls)
+    _, _, _, best = jax.lax.fori_loop(0, bound, body, (pv0, mv0, s0, s0))
     return best.astype(jnp.int32)
 
 
@@ -180,7 +203,8 @@ def _match_ties_kernel(
 
 
 def _match_full_kernel(
-    seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int, w16: bool = False
+    seg_ref, peq_ref, out_ref, seg32_ref, *, m: int, ls: int,
+    w16: bool = False, hb: bool = False,
 ):
     """Single-sweep matcher: min distance + tie count + first-TIES_K tie
     pattern ids, all against the RUNNING min across pattern blocks
@@ -200,7 +224,7 @@ def _match_full_kernel(
             out_ref[t + 2 : t + 3, :] = jnp.full((1, br), BIG, jnp.int32)
 
     seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
-    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, w16=w16)
+    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, w16=w16, hb=hb)
 
     d_old = out_ref[0:1, :]
     block_min = jnp.min(best, axis=0, keepdims=True)
@@ -231,12 +255,93 @@ def _match_full_kernel(
         out_ref[t + 2 : t + 3, :] = slots[t]
 
 
+def _match_full_dynls_kernel(
+    seg_ref, peq_ref, mlen_ref, out_ref, seg32_ref, *, m: int, ls: int,
+    hb: bool = False,
+):
+    """_match_full_kernel with the sweep stopped at the block's max segment
+    length (mlen_ref (1,1) SMEM scalar) — ROADMAP early-out experiment."""
+    bp, br = peq_ref.shape[0], seg_ref.shape[1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0:1, :] = jnp.full((1, br), m, jnp.int32)
+        out_ref[1:2, :] = jnp.zeros((1, br), jnp.int32)
+        for t in range(TIES_K):
+            out_ref[t + 2 : t + 3, :] = jnp.full((1, br), BIG, jnp.int32)
+
+    seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
+    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, ls_dyn=mlen_ref[0, 0], hb=hb)
+
+    d_old = out_ref[0:1, :]
+    block_min = jnp.min(best, axis=0, keepdims=True)
+    d_new = jnp.minimum(d_old, block_min)
+    improved = block_min < d_old
+
+    hits = best == d_new
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (bp, br), 0) + j * bp
+    local = jnp.where(hits, p_iota, BIG)
+
+    cnt = jnp.where(improved, 0, out_ref[1:2, :])
+    slots = [
+        jnp.where(improved, BIG, out_ref[t + 2 : t + 3, :])
+        for t in range(TIES_K)
+    ]
+    ff = jnp.minimum(cnt, TIES_K)
+    for _k in range(TIES_K):
+        idx_k = jnp.min(local, axis=0, keepdims=True)
+        can = (idx_k < BIG) & (ff < TIES_K)
+        for t in range(TIES_K):
+            slots[t] = jnp.where(can & (ff == t), idx_k, slots[t])
+        ff = ff + can.astype(jnp.int32)
+        local = jnp.where(local == idx_k, BIG, local)
+
+    out_ref[0:1, :] = d_new
+    out_ref[1:2, :] = cnt + jnp.sum(hits.astype(jnp.int32), axis=0, keepdims=True)
+    for t in range(TIES_K):
+        out_ref[t + 2 : t + 3, :] = slots[t]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("m", "br", "bp", "w16", "interpret")
+    jax.jit, static_argnames=("m", "br", "bp", "hb", "interpret")
+)
+def match_full_dynls_tpu(
+    seg_T, peq_pm, maxlens, m: int, br: int = DEF_BR, bp: int = DEF_BP,
+    hb: bool = False, interpret: bool = False,
+):
+    """match_full_tpu with a per-read-block dynamic sweep bound.
+
+    maxlens: (1, R_pad // br) int32, the max real segment length per block
+    (blocks are length-sorted upstream, so the bound is tight). Output is
+    bit-identical to match_full_tpu by the pad-code argument in _dp_sweep.
+    """
+    ls, r = seg_T.shape
+    p = peq_pm.shape[0]
+    grid = (r // br, p // bp)
+    return pl.pallas_call(
+        functools.partial(_match_full_dynls_kernel, m=m, ls=ls, hb=hb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, i), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIES_K + 2, br), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((TIES_K + 2, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
+        interpret=interpret,
+    )(seg_T, peq_pm, maxlens)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "br", "bp", "w16", "hb", "interpret")
 )
 def match_full_tpu(
     seg_T, peq_pm, m: int, br: int = DEF_BR, bp: int = DEF_BP,
-    w16: bool = False, interpret: bool = False,
+    w16: bool = False, hb: bool | None = None, interpret: bool = False,
 ):
     """Single-sweep min + ties. seg_T: (Ls, R_pad) int8.
 
@@ -249,7 +354,10 @@ def match_full_tpu(
     p = peq_pm.shape[0]
     grid = (r // br, p // bp)
     return pl.pallas_call(
-        functools.partial(_match_full_kernel, m=m, ls=ls, w16=w16),
+        functools.partial(
+            _match_full_kernel, m=m, ls=ls, w16=w16,
+            hb=_hb_default() if hb is None else hb,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),

@@ -209,7 +209,7 @@ def _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total, interpret):
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(None, "data"), P(None, "data"), P(None, None)),
-        out_specs=P(None, "data"),
+        out_specs=P(None, None, "data"),
         check_vma=False,
     )
     def step(text_local, lens_local, peq_full):
@@ -222,15 +222,16 @@ def _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total, interpret):
 
 def shard_adapter_scan(mesh, text, lens, peq_in, m: int, l_total: int,
                        interpret: bool = False):
-    """Production adapter-scan kernel, read lanes sharded over 'data'.
+    """Production adapter-scan kernel, read blocks sharded over 'data'.
 
-    text: (L, B) int8, lens: (1, B) int32, peq_in: (8, 8) int32, with
-    B % (n_data * BLOCK_READS) == 0 (each shard keeps whole kernel blocks).
-    Returns the (N_OUT, B) device array WITHOUT syncing."""
-    from ..ops.adapter_pallas import BLOCK_READS
+    text: (L/4*8, B/8) int8 group-interleaved, lens: (GROUPS, B/8) int32,
+    peq_in: (8, 8) int32, with lane columns % (n_data * BLOCK_LANES) == 0
+    (each shard keeps whole kernel blocks). Returns the
+    (N_OUT, GROUPS, B/8) device array WITHOUT syncing."""
+    from ..ops.adapter_pallas import BLOCK_LANES
 
     assert mesh.shape["model"] == 1, mesh.shape
-    assert text.shape[1] % (mesh.shape["data"] * BLOCK_READS) == 0, (
+    assert text.shape[1] % (mesh.shape["data"] * BLOCK_LANES) == 0, (
         text.shape, mesh.shape
     )
     _count(mesh)

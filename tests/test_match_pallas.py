@@ -240,3 +240,60 @@ def test_pallas_min_bl32_single_word(small_problem=None):
         [min(hw_best(bc, s) for bc in barcodes) for s in segs], np.int32
     )
     np.testing.assert_array_equal(np.minimum(ref, 32), np.minimum(want, 32))
+
+
+def test_match_full_variants_parity():
+    """hb (high-bit score accumulation) and dynls (per-block dynamic sweep
+    bound) are bit-identical to the base fused kernel (interpret mode)."""
+    import jax.numpy as jnp
+
+    from sctagger_tpu.core.packing import LENIENT_TABLE, encode_seqs
+    from sctagger_tpu.ops.match_pallas import (
+        match_full_dynls_tpu,
+        match_full_tpu,
+        prep_peq_cols,
+        prep_segs_T,
+    )
+    from sctagger_tpu.ops.myers import build_peq_multi
+
+    rng = np.random.default_rng(17)
+    bl, br, bp = 16, 128, 8
+    bcs = ["".join(rng.choice(list("ACGT"), size=bl)) for _ in range(12)]
+    pats = []
+    for b in bcs:
+        from sctagger_tpu.core import rev_compl
+
+        pats.append(rev_compl(b))
+        pats.append(b)
+    peq = build_peq_multi(encode_seqs(pats, pad_to=bl, table=LENIENT_TABLE)[0])
+    peq_pm = jnp.asarray(prep_peq_cols(peq, bp=bp))
+    # ragged segments (some shorter than the pad) exercise the dynls bound
+    segs = []
+    for i in range(2 * br - 7):
+        s = "".join(rng.choice(list("ACGT"), size=int(rng.integers(8, 28))))
+        if rng.random() < 0.6:
+            s = s[:4] + bcs[int(rng.integers(len(bcs)))] + s[4:]
+        segs.append(s)
+    ls = 48
+    codes, lens = encode_seqs(segs, pad_to=ls, table=LENIENT_TABLE)
+    seg_T = jnp.asarray(prep_segs_T(codes, ls=ls, br=br))
+    rp = seg_T.shape[1]
+
+    base = np.asarray(
+        match_full_tpu(seg_T, peq_pm, bl, br=br, bp=bp, interpret=True)
+    )
+    hb = np.asarray(
+        match_full_tpu(seg_T, peq_pm, bl, br=br, bp=bp, hb=True, interpret=True)
+    )
+    np.testing.assert_array_equal(hb, base)
+
+    ml = np.zeros((1, rp // br), np.int32)
+    for b in range(rp // br):
+        blk = lens[b * br : (b + 1) * br]
+        ml[0, b] = int(blk.max()) if blk.size else 0
+    dyn = np.asarray(
+        match_full_dynls_tpu(
+            seg_T, peq_pm, jnp.asarray(ml), bl, br=br, bp=bp, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(dyn, base)

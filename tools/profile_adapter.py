@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Adapter-kernel microprofile on the live backend (kernel vs transfer).
 
-Uses the exact chunk shape the 50K x 2000bp stage-1 bench produces
-(l_total=3072, Bp=5120; text 2-bit packed to (768, 5120)). Timings via
-np.asarray round trips (block_until_ready unreliable on axon).
+Default shape ~ the 50K x 2000bp stage-1 bench chunk (l_total=3072,
+Bp=8192 reads; text 2-bit packed, v3 group-interleaved (L/4*8, Bp/8)).
+Timings via np.asarray round trips (block_until_ready unreliable on axon).
+
+Env: SCTAG_ADAPTER_LANES tunes BLOCK_LANES (register-pressure sweep);
+SCTAG_PROF_B / SCTAG_PROF_L override the chunk shape.
 """
-import sys, time, pathlib
+import os, sys, time, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
@@ -16,27 +19,38 @@ import jax.numpy as jnp
 from sctagger_tpu.core.packing import STRICT_TABLE, encode_str, rev_compl
 from sctagger_tpu.ops.myers import build_peq_multi
 from sctagger_tpu.ops.adapter_pallas import (
-    _adapter_scan_call, _peq_input, adapter_scan_dispatch,
+    BLOCK_LANES, BLOCK_READS, _adapter_scan_call, _peq_input,
+    adapter_scan_dispatch, adapter_scan_dispatch_packed,
 )
 
 ADAPTER = "CTACACGACGCTCTTCCGATCT"
-L, B = 3072, 5120
+L = int(os.environ.get("SCTAG_PROF_L", "3072"))
+B = int(os.environ.get("SCTAG_PROF_B", str(BLOCK_READS)))
+assert B % BLOCK_READS == 0, (B, BLOCK_READS)
+READ_LEN = min(2000, L)
 rng = np.random.default_rng(0)
-codes = rng.integers(0, 4, size=(B, 2000)).astype(np.uint8)
-lengths = np.full((B,), 2000, np.int32)
+codes = rng.integers(0, 4, size=(B, READ_LEN)).astype(np.uint8)
+lengths = np.full((B,), READ_LEN, np.int32)
 pat = np.stack([encode_str(ADAPTER, STRICT_TABLE),
                 encode_str(rev_compl(ADAPTER), STRICT_TABLE)])
 peq2 = build_peq_multi(pat)
 peq_in = _peq_input(peq2)
 m = len(ADAPTER)
 
-# host-side packed buffers (mirror adapter_scan_dispatch internals)
-cp = np.zeros((B, L), np.uint8); cp[:, :2000] = codes; cp &= 3
+# host-side packed buffers (mirror adapter_scan_dispatch internals, v3
+# group-interleaved rows: read r=(blk,g,lane) -> text[w*8+g, blk*BL+lane])
+cp = np.zeros((B, L), np.uint8); cp[:, :READ_LEN] = codes; cp &= 3
 pk = (cp[:,0::4] | (cp[:,1::4]<<2) | (cp[:,2::4]<<4) | (cp[:,3::4]<<6)).view(np.int8)
-text_np = np.ascontiguousarray(pk.T)
-lens_np = np.zeros((1, B), np.int32); lens_np[0] = lengths
+W = L // 4
+nblk = B // BLOCK_READS
+text_np = np.zeros((W * 8, nblk * BLOCK_LANES), np.int8)
+text_np.reshape(W, 8, nblk, BLOCK_LANES)[...] = pk.reshape(
+    nblk, 8, BLOCK_LANES, W).transpose(3, 1, 0, 2)
+lens_np = np.ascontiguousarray(
+    lengths.reshape(nblk, 8, BLOCK_LANES).transpose(1, 0, 2)
+).reshape(8, nblk * BLOCK_LANES)
 
-print("backend", jax.default_backend())
+print("backend", jax.default_backend(), "lanes", BLOCK_LANES, "B", B, "L", L)
 t0 = time.perf_counter()
 text_d = jnp.asarray(text_np); lens_d = jnp.asarray(lens_np); peq_d = jnp.asarray(peq_in)
 out = np.asarray(_adapter_scan_call(text_d, lens_d, peq_d, m, L))
@@ -57,7 +71,7 @@ for i in range(K):
 dt = (time.perf_counter() - t0) / K
 print(f"upload {text_np.nbytes/1e6:.1f}MB: {dt*1e3:.1f} ms -> {text_np.nbytes/dt/1e6:.1f} MB/s")
 
-# e2e from raw codes each time (pack + upload + kernel), what the stage does
+# e2e from raw codes each time (pack + riffle + upload + kernel)
 t0 = time.perf_counter()
 for i in range(K):
     out = np.asarray(adapter_scan_dispatch(codes, lengths, peq2, m, b_pad=B))
