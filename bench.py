@@ -138,7 +138,7 @@ def _stage_rates():
     ours = _load("BENCH_STAGES.json")
     ref = _load("REF_MEASURED.json")
     out = {}
-    for s in ("lr", "sr", "alt", "alt_device"):
+    for s in ("lr", "lr_sustained", "sr", "alt", "alt_device"):
         if s not in ours:
             continue
         e = {
@@ -148,9 +148,12 @@ def _stage_rates():
             "backend": ours[s].get("backend"),
             "measured": ours[s].get("date"),
         }
-        rs = "alt" if s == "alt_device" else s  # same reference baseline
+        if "phases_s" in ours[s]:
+            e["phases_s"] = ours[s]["phases_s"]
+        # variant rows share their base stage's reference baseline
+        rs = {"alt_device": "alt", "lr_sustained": "lr"}.get(s, s)
         if rs in ref:
-            if s == "lr":
+            if rs == "lr":
                 # stage-1 envelope: 32 threads (Snakefile:84-87), ideal scaling
                 base = ref[rs]["value"] * 32
                 e["baseline"] = f"{base:.0f} reads/s (native-Myers ref x32)"

@@ -70,21 +70,28 @@ def _run_cli(argv: list[str], timeout: float = 7200) -> float:
 
 
 def _run_cli_steady(argv: list[str], timeout: float = 7200,
-                    out_path: str | None = None) -> tuple[float, float]:
-    """Run the stage twice in ONE subprocess; return (cold_wall, steady_wall).
+                    out_path: str | None = None) -> tuple[float, float, dict]:
+    """Run the stage twice in ONE subprocess; return (cold_wall, steady_wall,
+    steady-phase PROF walls).
 
     cold_wall = the whole subprocess (imports + handshake + compiles + two
     stage runs); steady_wall = the second in-process stage call only. The
     second call overwrites ``out_path`` (same argv), so outputs stay valid.
+    The PROF dict (sctagger_tpu.utils.misc) is cleared between the runs, so
+    its keys decompose the STEADY wall (host encode vs device dispatch vs
+    result sync — the transfer-floor evidence for the sustained benches).
     """
     code = (
-        "import sys, time\n"
+        "import sys, time, json\n"
         "from sctagger_tpu.cli import main\n"
+        "from sctagger_tpu.utils.misc import PROF\n"
         "argv = sys.argv[1:]\n"
         "main(argv)\n"
+        "PROF.clear()\n"
         "t0 = time.perf_counter()\n"
         "main(argv)\n"
         "print('STEADY_S', time.perf_counter() - t0)\n"
+        "print('PROF_JSON', json.dumps(PROF))\n"
     )
     t0 = time.perf_counter()
     proc = subprocess.run(
@@ -97,11 +104,14 @@ def _run_cli_steady(argv: list[str], timeout: float = 7200,
         print(proc.stderr[-3000:], file=sys.stderr)
         raise SystemExit(proc.returncode)
     steady = None
+    prof: dict = {}
     for line in proc.stdout.splitlines():
         if line.startswith("STEADY_S "):
             steady = float(line.split()[1])
+        elif line.startswith("PROF_JSON "):
+            prof = json.loads(line[len("PROF_JSON "):])
     assert steady is not None, proc.stdout[-2000:]
-    return cold, steady
+    return cold, steady, prof
 
 
 def _record(stage: str, entry: dict) -> None:
@@ -114,15 +124,30 @@ def _record(stage: str, entry: dict) -> None:
     print(f"[{stage}] {json.dumps(entry)}")
 
 
-def bench_lr(n_reads: int, read_len: int) -> None:
+FIXTURE_CACHE = pathlib.Path("/tmp/sctag_fixture_cache")
+
+
+def _cached_lr_fastq(n_reads: int, read_len: int) -> tuple[pathlib.Path, int]:
+    """Large stage-1 fixtures are expensive to generate (minutes at 1M
+    reads); cache them by (n, len) across bench runs."""
     from measure_reference import make_lr_fastq
 
+    FIXTURE_CACHE.mkdir(exist_ok=True)
+    path = FIXTURE_CACHE / f"lr_{n_reads}_{read_len}.fastq"
+    meta = path.with_suffix(".bp")
+    if path.exists() and meta.exists():
+        return path, int(meta.read_text())
+    total_bp = make_lr_fastq(path, n_reads, read_len)
+    meta.write_text(str(total_bp))
+    return path, total_bp
+
+
+def bench_lr(n_reads: int, read_len: int, stage_key: str = "lr") -> None:
+    fq, total_bp = _cached_lr_fastq(n_reads, read_len)
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="sctag_ourlr_"))
-    total_bp = make_lr_fastq(tmp / "reads.fastq", n_reads, read_len)
-    argv = ["extract_lr_bc", "-r", str(tmp / "reads.fastq"),
-            "-o", str(tmp / "lr.tsv.gz")]
-    cold, dt = _run_cli_steady(argv)
-    _record("lr", {
+    argv = ["extract_lr_bc", "-r", str(fq), "-o", str(tmp / "lr.tsv.gz")]
+    cold, dt, prof = _run_cli_steady(argv)
+    _record(stage_key, {
         "value": round(n_reads / dt, 2),
         "unit": "reads/s",
         "mbp_per_s": round(total_bp / dt / 1e6, 2),
@@ -131,6 +156,10 @@ def bench_lr(n_reads: int, read_len: int) -> None:
         "wall_s": round(dt, 1),
         "cold_wall_s": round(cold, 1),
         "backend": _backend(),
+        # steady-wall decomposition (sums can exceed wall: sync overlaps
+        # in-flight device work; encode overlaps the async dispatch queue)
+        "phases_s": {k: round(v, 2) for k, v in sorted(prof.items())
+                     if k.startswith("scan.")},
     })
 
 
@@ -144,7 +173,7 @@ def bench_sr(n_alns: int) -> None:
     # this environment's sitecustomize costs ~2.4s of interpreter startup per
     # process (axon registration) that neither side's engine owns; the second
     # in-process call times just the stage (page cache warm both calls).
-    cold, dt = _run_cli_steady(
+    cold, dt, _ = _run_cli_steady(
         ["extract_sr_bc", "-i", path, "-o", str(tmp / "out.tsv.gz"), "-t", "1"]
     )
     _record("sr", {
@@ -172,7 +201,7 @@ def bench_alt(n_rows: int, n_whitelist: int, probe: str = "host") -> None:
             "-wl", str(tmp / "wl.txt.gz"), "-o", str(tmp / "out.tsv.gz")]
     os.environ["SCTAG_PROBE"] = probe  # _env() snapshots os.environ
     try:
-        cold, dt = _run_cli_steady(argv)
+        cold, dt, _ = _run_cli_steady(argv)
     finally:
         del os.environ["SCTAG_PROBE"]
     _record("alt" if probe == "host" else f"alt_{probe}", {
@@ -189,14 +218,21 @@ def bench_alt(n_rows: int, n_whitelist: int, probe: str = "host") -> None:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("stage", choices=["lr", "sr", "alt", "alt_device", "all"],
-                    nargs="?", default="all")
+    ap.add_argument(
+        "stage",
+        choices=["lr", "lr_sustained", "sr", "alt", "alt_device", "all"],
+        nargs="?", default="all")
     ap.add_argument("-n", type=int, default=None)
     ap.add_argument("--read-len", type=int, default=2000)
     ap.add_argument("--whitelist", type=int, default=500_000)
     a = ap.parse_args()
     if a.stage in ("lr", "all"):
         bench_lr(a.n or 50_000, a.read_len)
+    if a.stage in ("lr_sustained", "all"):
+        # >=1M reads: ~30 in-flight 64M-char chunks amortize the tunnel's
+        # ~300ms fixed per-transfer latency that dominates the 50K-read row
+        # (VERDICT r2 #1a)
+        bench_lr(a.n or 1_000_000, a.read_len, stage_key="lr_sustained")
     if a.stage in ("sr", "all"):
         bench_sr(a.n or 2_000_000)
     if a.stage in ("alt", "all"):

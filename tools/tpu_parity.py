@@ -110,11 +110,14 @@ def _env(backend: str) -> dict:
     return env
 
 
-def _run(argv: list[str], backend: str, timeout: float) -> float:
+def _run(argv: list[str], backend: str, timeout: float,
+         env_extra: dict | None = None) -> float:
     t0 = time.perf_counter()
+    env = _env(backend)
+    env.update(env_extra or {})
     proc = subprocess.run(
         [sys.executable, "-m", "sctagger_tpu", *argv],
-        env=_env(backend),
+        env=env,
         capture_output=True,
         text=True,
         timeout=timeout,
@@ -155,12 +158,21 @@ def run_parity(n_reads: int, n_barcodes: int, alt: bool, seed: int,
         stages.setdefault("extract_lr_bc", {})[f"wall_s_{t}"] = round(t_lr, 2)
         stages.setdefault("match_trie", {})[f"wall_s_{t}"] = round(t_mt, 2)
         if alt:
+            # the "tpu" leg forces the DEVICE binary-search probe so its
+            # hardware lowering is what gets byte-verified; the "cpu" leg
+            # keeps the production default (host C++ hash probe, the
+            # golden-validated oracle) — equality gates BOTH probes at once
+            # (VERDICT r2 #3)
             t_al = _run(
                 ["extract_sr_bc_from_lr", "-i", str(lr[t]), "-wl", str(wl),
                  "-o", str(al[t])], b, timeout,
+                env_extra={"SCTAG_PROBE": "device"} if t == "tpu" else None,
             )
             stages.setdefault("extract_sr_bc_from_lr", {})[f"wall_s_{t}"] = (
                 round(t_al, 2)
+            )
+            stages["extract_sr_bc_from_lr"][f"probe_{t}"] = (
+                "device" if t == "tpu" else "host"
             )
 
     checks = [("extract_lr_bc", lr), ("match_trie", mt)]
