@@ -197,52 +197,81 @@ int sctag_read_fastq(const char* path, char** names_buf, int64_t* names_len,
     *names_len = *n_names = *n_seqs = *n_lines = 0;
     *error = nullptr;
 
-    gzFile f = gzopen(path, "rb");
-    if (!f) {
-        *error = dup_malloc("cannot open file");
-        return 1;
-    }
-    gzbuffer(f, 1 << 20);
-
     FastqOut out;
+    bool gz = false;
     {
-        // pre-size the big outputs from the file size (sequences are ~half
-        // the text; gzip FASTQ compresses ~3-4x) — growth doubling still
-        // covers misestimates, this just skips most of the copies
+        // magic sniff + pre-size the big outputs from the file size
+        // (sequences are ~half the text; gzip FASTQ compresses ~3-4x) —
+        // growth doubling still covers misestimates, this just skips most
+        // of the copies
         FILE* sf = std::fopen(path, "rb");
-        if (sf) {
-            std::fseek(sf, 0, SEEK_END);
-            long sz = std::ftell(sf);
-            unsigned char magic[2] = {0, 0};
-            std::fseek(sf, 0, SEEK_SET);
-            size_t got = std::fread(magic, 1, 2, sf);
-            std::fclose(sf);
-            bool gz = got == 2 && magic[0] == 0x1f && magic[1] == 0x8b;
-            if (sz > 0) {
-                size_t text = (size_t)sz * (gz ? 4 : 1);
-                out.seqs.reserve(text / 2 + 4096);
-                out.names.reserve(text / 32 + 4096);
-            }
+        if (!sf) {
+            *error = dup_malloc("cannot open file");
+            return 1;
+        }
+        std::fseek(sf, 0, SEEK_END);
+        long sz = std::ftell(sf);
+        unsigned char magic[2] = {0, 0};
+        std::fseek(sf, 0, SEEK_SET);
+        size_t got = std::fread(magic, 1, 2, sf);
+        std::fclose(sf);
+        gz = got == 2 && magic[0] == 0x1f && magic[1] == 0x8b;
+        if (sz > 0) {
+            size_t text = (size_t)sz * (gz ? 4 : 1);
+            out.seqs.reserve(text / 2 + 4096);
+            out.names.reserve(text / 32 + 4096);
         }
     }
     FastqParser parser(out);
     std::vector<char> chunk(1 << 22);
     bool ok = true;
-    for (;;) {
-        int got = gzread(f, chunk.data(), (unsigned)chunk.size());
-        if (got < 0) {
-            out.error = "gzip read error";
-            ok = false;
-            break;
+    if (!gz) {
+        // plain file: raw fread — zlib's transparent mode copies every byte
+        // through its internal window (~230 MB/s measured on a 2 GB FASTQ);
+        // the direct path parses straight from page cache
+        FILE* f = std::fopen(path, "rb");
+        if (!f) {
+            *error = dup_malloc("cannot open file");
+            return 1;
         }
-        if (got == 0) break;
-        if (!parser.feed(chunk.data(), (size_t)got)) {
-            ok = false;
-            break;
+        for (;;) {
+            size_t got = std::fread(chunk.data(), 1, chunk.size(), f);
+            if (got == 0) {
+                if (std::ferror(f)) {
+                    out.error = "read error";
+                    ok = false;
+                }
+                break;
+            }
+            if (!parser.feed(chunk.data(), got)) {
+                ok = false;
+                break;
+            }
         }
+        std::fclose(f);
+    } else {
+        gzFile f = gzopen(path, "rb");
+        if (!f) {
+            *error = dup_malloc("cannot open file");
+            return 1;
+        }
+        gzbuffer(f, 1 << 20);
+        for (;;) {
+            int got = gzread(f, chunk.data(), (unsigned)chunk.size());
+            if (got < 0) {
+                out.error = "gzip read error";
+                ok = false;
+                break;
+            }
+            if (got == 0) break;
+            if (!parser.feed(chunk.data(), (size_t)got)) {
+                ok = false;
+                break;
+            }
+        }
+        gzclose(f);
     }
     if (ok) ok = parser.eof();
-    gzclose(f);
     if (!ok) {
         *error = dup_malloc(out.error);
         return 1;

@@ -61,6 +61,9 @@ GROUPS = 8  # read-groups interleaved on the state sublanes
 # ~17 live (8, LANES) values = 17 * LANES/128 vregs)
 BLOCK_LANES = int(os.environ.get("SCTAG_ADAPTER_LANES", "1024"))
 BLOCK_READS = GROUPS * BLOCK_LANES  # reads per block = batch granularity
+# fused=1 advances BOTH patterns per loop body (2x ILP on the serial Myers
+# chain); fused=0 keeps the two-pass form (half the live registers)
+FUSED = os.environ.get("SCTAG_ADAPTER_FUSED", "1") == "1"
 _NST = 6 + SLOTS_K  # per-pattern state rows: pv, mv, score, d, cnt, mx, slots
 
 
@@ -109,62 +112,90 @@ def _kernel(
 
     lens = len_ref[:, :]  # (GROUPS, BL)
     high = _high_const(m)
+    # pattern p's Peq per base as sublane-replicated (8, 1) columns
+    # (every sublane is the same pattern now; lanes-only broadcast)
+    pcols = [
+        [peq_ref[p * 8 : p * 8 + 8, b : b + 1] for b in range(4)]
+        for p in range(2)
+    ]
 
-    for p in range(2):  # fwd pass, then rc pass, over the same scratch text
-        o = p * _NST
-        # pattern p's Peq per base as sublane-replicated (8, 1) columns
-        # (every sublane is the same pattern now; lanes-only broadcast)
-        pA = peq_ref[p * 8 : p * 8 + 8, 0:1]
-        pC = peq_ref[p * 8 : p * 8 + 8, 1:2]
-        pG = peq_ref[p * 8 : p * 8 + 8, 2:3]
-        pT = peq_ref[p * 8 : p * 8 + 8, 3:4]
+    def _advance(st, o, p, b0, b1, j_valid, j):
+        """One Myers+tracking step for pattern p on state rows st[o:o+_NST]."""
+        pv, mv, score, d, cnt, mx = st[o : o + 6]
+        slots = st[o + 6 : o + _NST]
+        pA, pC, pG, pT = pcols[p]
+        # 2-bit base decode as a select tree (3 selects, vs 4
+        # compare+selects for the code-equality chain)
+        eq = jnp.where(b1, jnp.where(b0, pT, pG), jnp.where(b0, pC, pA))
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score = score + ((ph & high) != 0).astype(jnp.int32)
+        score = score - ((mh & high) != 0).astype(jnp.int32)
+        ph = ph << 1
+        mh = mh << 1
+        pv = mh | ~(xv | ph)
+        mv = ph & xv
+        improve = j_valid & (score < d)
+        tie = j_valid & (score == d)
+        d = jnp.where(improve, score, d)
+        mx = jnp.where(improve | tie, j, mx)
+        # slots >= the final cnt are never read (the host unpack masks
+        # karange < cnt), so improve need not clear old slots: slot 0 takes
+        # j on improve OR first-tie, slot k on the k-th tie
+        new_slots = [jnp.where(improve | (tie & (cnt == 0)), j, slots[0])]
+        for kk in range(1, SLOTS_K):
+            new_slots.append(jnp.where(tie & (cnt == kk), j, slots[kk]))
+        cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
+        st[o : o + _NST] = [pv, mv, score, d, cnt, mx, *new_slots]
 
-        def body(jq, carry, pA=pA, pC=pC, pG=pG, pT=pT):
+    if FUSED:
+        # BOTH patterns advance inside ONE loop body: the two Myers carry
+        # chains are independent, so interleaving them doubles the ILP the
+        # VPU can extract from this latency-bound recurrence (the match
+        # kernel streams 256-vreg ops and is throughput-bound; the adapter's
+        # (8, BL) ops sit on the serial chain).
+        def body(jq, carry):
             # One aligned (8, BL) slice per FOUR characters: packed word jq
             # of every read-group; unrolling keeps 4 chars of vector work
             # per loop iteration (load-to-use and bookkeeping amortize 4x).
             row = tx32_ref[pl.ds(jq * 8, 8), :]  # (GROUPS, BL) packed words
+            st = list(carry)
             for k in range(4):
-                pv, mv, score, d, cnt, mx, *slots = carry  # each (GROUPS, BL)
-                # 2-bit base decode as a select tree (3 selects, vs 4
-                # compare+selects for the code-equality chain)
                 b0 = (row & (1 << (2 * k))) != 0
                 b1 = (row & (2 << (2 * k))) != 0
-                eq = jnp.where(b1, jnp.where(b0, pT, pG), jnp.where(b0, pC, pA))
-                xv = eq | mv
-                xh = (((eq & pv) + pv) ^ pv) | eq
-                ph = mv | ~(xh | pv)
-                mh = pv & xh
-                score = score + ((ph & high) != 0).astype(jnp.int32)
-                score = score - ((mh & high) != 0).astype(jnp.int32)
-                ph = ph << 1
-                mh = mh << 1
-                pv = mh | ~(xv | ph)
-                mv = ph & xv
                 j = l * cl + jq * 4 + k
                 valid = j < lens  # (GROUPS, BL)
-                improve = valid & (score < d)
-                tie = valid & (score == d)
-                d = jnp.where(improve, score, d)
-                mx = jnp.where(improve | tie, j, mx)
-                # slots >= the final cnt are never read (the host unpack
-                # masks karange < cnt), so improve need not clear old slots:
-                # slot 0 takes j on improve OR first-tie, slot k on k-th tie
-                new_slots = [
-                    jnp.where(improve | (tie & (cnt == 0)), j, slots[0])
-                ]
-                for kk in range(1, SLOTS_K):
-                    new_slots.append(
-                        jnp.where(tie & (cnt == kk), j, slots[kk])
-                    )
-                cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
-                carry = (pv, mv, score, d, cnt, mx, *new_slots)
-            return carry
+                for p in range(2):
+                    _advance(st, p * _NST, p, b0, b1, valid, j)
+            return tuple(st)
 
-        init = tuple(st_ref[o + i] for i in range(_NST))
+        init = tuple(st_ref[i] for i in range(2 * _NST))
         fin = jax.lax.fori_loop(0, cl // 4, body, init)
-        for i in range(_NST):
-            st_ref[o + i] = fin[i]
+        for i in range(2 * _NST):
+            st_ref[i] = fin[i]
+    else:
+        # two sequential passes (fwd then rc) over the same scratch text —
+        # half the live registers of the fused form, half the ILP
+        for p in range(2):
+            o = p * _NST
+
+            def body(jq, carry, p=p):
+                row = tx32_ref[pl.ds(jq * 8, 8), :]
+                st = list(carry)
+                for k in range(4):
+                    b0 = (row & (1 << (2 * k))) != 0
+                    b1 = (row & (2 << (2 * k))) != 0
+                    j = l * cl + jq * 4 + k
+                    valid = j < lens
+                    _advance(st, 0, p, b0, b1, valid, j)
+                return tuple(st)
+
+            init = tuple(st_ref[o + i] for i in range(_NST))
+            fin = jax.lax.fori_loop(0, cl // 4, body, init)
+            for i in range(_NST):
+                st_ref[o + i] = fin[i]
 
     @pl.when(l == n_lchunks - 1)
     def _():

@@ -27,7 +27,7 @@ from ..io.tsv import open_out
 from ..models.adapter import AdapterScanResult, scan_adapters
 from ..observability import stage_scope
 from ..pipeline.checkpoint import PartStore, job_key
-from ..utils import PROF, batch_iter
+from ..utils import PROF, batch_iter, prof_timer
 
 
 def run(args) -> None:
@@ -84,12 +84,12 @@ def _run(args, stats) -> None:
             list(args.reads),
             {"sa": args.short_read_adapter, "nb": args.num_bp_after},
         )
-        with stats.timer("read_fastq"):
+        with stats.timer("read_fastq"), prof_timer("stage.read_fastq"):
             _, rnames, seqs = read_fastq_shard(
                 args.reads, args.host_id, n_hosts, args.gzipped
             )
     else:
-        with stats.timer("read_fastq"):
+        with stats.timer("read_fastq"), prof_timer("stage.read_fastq"):
             rnames, seqs = read_fastqs(args.reads, args.gzipped)
     print(
         f"Aligning {args.short_read_adapter} to {len(seqs)} reads",
@@ -150,6 +150,7 @@ def _run(args, stats) -> None:
             scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
     stats.timers.update(PROF)  # per-phase scan diagnostics (utils.prof_timer)
 
+    rf_t = prof_timer("stage.ranges_filter").__enter__()
     preset = args.ranges
     if len(preset[0]) + len(preset[1]) == 0:
         if not multi or args.host_id == 0:
@@ -184,6 +185,7 @@ def _run(args, stats) -> None:
         args.num_bp_after,
     )
 
+    rf_t.__exit__()
     stats.count("valid", int(valid.sum()))
     # per-distance read counts — the numbers the stage-1 plot encodes
     vals, cnts = np.unique(dist, return_counts=True)
@@ -206,25 +208,27 @@ def _run(args, stats) -> None:
                 yield f"{rname}\t-1\tNA\t\n"
 
     if multi:
-        group.write_part_and_merge(
-            args.outfile,
-            "".join(_rows()),
-            lambda p: open_out(p, force_gzip=True),
-        )
+        with prof_timer("stage.write"):
+            group.write_part_and_merge(
+                args.outfile,
+                "".join(_rows()),
+                lambda p: open_out(p, force_gzip=True),
+            )
     else:
-        outfile = open_out(args.outfile, force_gzip=True)
-        print(f"Writng to {outfile}", file=sys.stderr)
-        # batched writes: 50K per-row TextIOWrapper.write calls cost ~0.3s
-        import itertools
+        with prof_timer("stage.write"):
+            outfile = open_out(args.outfile, force_gzip=True)
+            print(f"Writng to {outfile}", file=sys.stderr)
+            # batched writes: 50K per-row TextIOWrapper.write calls cost ~0.3s
+            import itertools
 
-        rows = _rows()
-        while True:
-            chunk = list(itertools.islice(rows, 8192))
-            if not chunk:
-                break
-            outfile.write("".join(chunk))
-        if outfile is not sys.stdout:
-            outfile.close()
+            rows = _rows()
+            while True:
+                chunk = list(itertools.islice(rows, 8192))
+                if not chunk:
+                    break
+                outfile.write("".join(chunk))
+            if outfile is not sys.stdout:
+                outfile.close()
 
     if args.plotfile is not None:
         from ..plots import plot_extract_lr_bc

@@ -159,7 +159,7 @@ def bench_lr(n_reads: int, read_len: int, stage_key: str = "lr") -> None:
         # steady-wall decomposition (sums can exceed wall: sync overlaps
         # in-flight device work; encode overlaps the async dispatch queue)
         "phases_s": {k: round(v, 2) for k, v in sorted(prof.items())
-                     if k.startswith("scan.")},
+                     if k.startswith(("scan.", "stage."))},
     })
 
 
