@@ -56,8 +56,16 @@ from ..utils import batch_iter, full_fast, prof_timer, round_up
 # 2026-08-19: 3.9MB->325ms, 15.7MB->400ms), so larger round trips beat many
 # small ones — but NOT one giant chunk: a 192M-char single chunk measured
 # 6.75s steady vs 3.79s at 64M (4 in-flight chunks overlap upload, kernel,
-# and fetch; one chunk serializes them). 64M = 16MB packed is the sweet spot.
-_CHARS_BUDGET = 64 * 1024 * 1024  # unpacked text chars per chunk
+# and fetch; one chunk serializes them). 64M = 16MB packed is the sweet spot
+# at 50K reads; at >=1M reads the per-transfer fixed latency dominates the
+# dispatch wall (61 chunks x ~310ms measured in the r3 sustained bench), so
+# SCTAG_CHUNK_CHARS lets large runs trade in-flight depth for fewer, larger
+# transfers.
+import os as _os
+
+_CHARS_BUDGET = int(
+    _os.environ.get("SCTAG_CHUNK_CHARS", 64 * 1024 * 1024)
+)  # unpacked text chars per chunk
 
 
 def _read_buckets(lengths: np.ndarray) -> list[int]:

@@ -6,8 +6,8 @@ scTagger.py:180-181):
 
   d        min infix edit distance over valid positions,
   cnt      number of optimal end positions (clipped at SLOTS_K),
-  max_pos  the largest optimal end position,
-  s0..s3   the first SLOTS_K optimal end positions (ascending).
+  s0..s3   the first SLOTS_K optimal end positions (ascending; the largest
+           optimal end for a non-overflowing read is slots[cnt-1]).
 
 The first-K collection uses running registers against the current min, so no
 (L x B) score or mask arrays ever exist: per-read output is N_OUT ints. Reads
@@ -54,7 +54,7 @@ from ..utils import cdiv, full_fast, round_up
 from .myers import high_bit
 
 SLOTS_K = 4
-N_OUT = 16  # rows [d, cnt, max, s0..s3] x 2 patterns = 14, padded to 16
+N_OUT = 16  # rows [d, cnt, s0..s3] x 2 patterns = 12, padded to 16
 CHUNK_L = 512
 GROUPS = 8  # read-groups interleaved on the state sublanes
 # lanes per block; tunable for register-pressure experiments (the DP carry is
@@ -64,7 +64,14 @@ BLOCK_READS = GROUPS * BLOCK_LANES  # reads per block = batch granularity
 # fused=1 advances BOTH patterns per loop body (2x ILP on the serial Myers
 # chain); fused=0 keeps the two-pass form (half the live registers)
 FUSED = os.environ.get("SCTAG_ADAPTER_FUSED", "1") == "1"
-_NST = 6 + SLOTS_K  # per-pattern state rows: pv, mv, score, d, cnt, mx, slots
+# PROFILING ONLY — wrong results: 1 = drop slot/cnt/mx tracking (d-min only),
+# 2 = Myers core only (no tracking at all). Bounds what each part costs.
+_STRIP = int(os.environ.get("SCTAG_ADAPTER_STRIP", "0"))
+# per-pattern state rows: pv, mv, score, d, cnt, slots (NO max-position row:
+# with cnt <= SLOTS_K the max optimal end is slots[cnt-1], and cnt > SLOTS_K
+# reads recompute via the mask fallback anyway — so tracking it was 2 dead
+# ops/char and a dead carry array)
+_NST = 5 + SLOTS_K
 
 
 def _high_const(m: int) -> jnp.ndarray:
@@ -102,9 +109,8 @@ def _kernel(
             st_ref[o + 2] = jnp.full((GROUPS, bl), m, jnp.int32)  # score
             st_ref[o + 3] = jnp.full((GROUPS, bl), m, jnp.int32)  # d (min)
             st_ref[o + 4] = jnp.zeros((GROUPS, bl), jnp.int32)  # cnt
-            st_ref[o + 5] = jnp.full((GROUPS, bl), -1, jnp.int32)  # max pos
             for k in range(SLOTS_K):
-                st_ref[o + 6 + k] = jnp.zeros((GROUPS, bl), jnp.int32)
+                st_ref[o + 5 + k] = jnp.zeros((GROUPS, bl), jnp.int32)
 
     # Bulk int8 -> int32 once per block; the per-word dynamic sublane slice
     # below must hit an int32 tile (CLAUDE.md Mosaic gotcha + v1 postmortem).
@@ -121,8 +127,8 @@ def _kernel(
 
     def _advance(st, o, p, b0, b1, j_valid, j):
         """One Myers+tracking step for pattern p on state rows st[o:o+_NST]."""
-        pv, mv, score, d, cnt, mx = st[o : o + 6]
-        slots = st[o + 6 : o + _NST]
+        pv, mv, score, d, cnt = st[o : o + 5]
+        slots = st[o + 5 : o + _NST]
         pA, pC, pG, pT = pcols[p]
         # 2-bit base decode as a select tree (3 selects, vs 4
         # compare+selects for the code-equality chain)
@@ -137,10 +143,15 @@ def _kernel(
         mh = mh << 1
         pv = mh | ~(xv | ph)
         mv = ph & xv
+        if _STRIP == 2:  # profiling: Myers core only
+            st[o : o + 3] = [pv, mv, score]
+            return
         improve = j_valid & (score < d)
         tie = j_valid & (score == d)
         d = jnp.where(improve, score, d)
-        mx = jnp.where(improve | tie, j, mx)
+        if _STRIP == 1:  # profiling: d-min only
+            st[o : o + 4] = [pv, mv, score, d]
+            return
         # slots >= the final cnt are never read (the host unpack masks
         # karange < cnt), so improve need not clear old slots: slot 0 takes
         # j on improve OR first-tie, slot k on the k-th tie
@@ -148,7 +159,7 @@ def _kernel(
         for kk in range(1, SLOTS_K):
             new_slots.append(jnp.where(tie & (cnt == kk), j, slots[kk]))
         cnt = jnp.where(improve, 1, jnp.where(tie, cnt + 1, cnt))
-        st[o : o + _NST] = [pv, mv, score, d, cnt, mx, *new_slots]
+        st[o : o + _NST] = [pv, mv, score, d, cnt, *new_slots]
 
     if FUSED:
         # BOTH patterns advance inside ONE loop body: the two Myers carry
@@ -199,17 +210,16 @@ def _kernel(
 
     @pl.when(l == n_lchunks - 1)
     def _():
-        # pattern p's state rows -> output rows [base..base+6]; each write is
+        # pattern p's state rows -> output rows [base..base+5]; each write is
         # a whole (GROUPS, BL) state array (no sublane extraction)
-        for p, base in ((0, 0), (1, 7)):
+        for p, base in ((0, 0), (1, 6)):
             o = p * _NST
             out_ref[base + 0] = st_ref[o + 3]
             out_ref[base + 1] = st_ref[o + 4]
-            out_ref[base + 2] = st_ref[o + 5]
             for k in range(SLOTS_K):
-                out_ref[base + 3 + k] = st_ref[o + 6 + k]
-        out_ref[14] = jnp.zeros((GROUPS, bl), jnp.int32)
-        out_ref[15] = jnp.zeros((GROUPS, bl), jnp.int32)
+                out_ref[base + 2 + k] = st_ref[o + 5 + k]
+        for r in range(12, N_OUT):
+            out_ref[r] = jnp.zeros((GROUPS, bl), jnp.int32)
 
 
 @functools.partial(
@@ -398,8 +408,7 @@ def unpack_scan_out(out: np.ndarray, B: int):
         return {
             "d": out[base],
             "cnt": out[base + 1],
-            "max": out[base + 2],
-            "slots": out[base + 3 : base + 3 + SLOTS_K].T.copy(),
+            "slots": out[base + 2 : base + 2 + SLOTS_K].T.copy(),
         }
 
-    return unpack(0), unpack(7)
+    return unpack(0), unpack(6)

@@ -63,11 +63,12 @@ def test_adapter_kernel_matches_jnp():
             # count is exact (not clipped) in the kernel
             assert got["cnt"][b] == len(ends), (b, p, ends, got["cnt"][b])
             if len(ends):
-                assert got["max"][b] == ends[-1]
                 k = min(SLOTS_K, len(ends))
                 np.testing.assert_array_equal(got["slots"][b][:k], ends[:k])
-            else:
-                assert got["max"][b] == -1
+                if len(ends) <= SLOTS_K:
+                    # max optimal end = last slot (the mx row was removed;
+                    # overflow reads recompute via the mask fallback)
+                    assert got["slots"][b][len(ends) - 1] == ends[-1]
 
 
 def test_adapter_kernel_multi_chunk_state():

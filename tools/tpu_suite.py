@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Run a curated subset of the test suite on REAL TPU hardware
+(SCTAG_TEST_TPU=1) and record the result in TPU_SUITE.json (VERDICT r2 #3).
+
+The subset is the golden/parity tests that drive the PRODUCTION device code
+paths through the real CLI (compiled Pallas kernels, not interpret mode):
+stage-1 golden, match_trie golden, alt-stage golden, plus the end-to-end
+edge cases. Kernel-level unit tests are excluded — they force
+interpret=True and prove nothing about hardware lowering.
+
+Axon note: every distinct kernel shape compiles remotely (~4-40 min); the
+golden tests use small inputs with few length buckets, but expect a
+multi-10-minute wall on a cold server cache.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+SUBSET = [
+    "tests/test_stage1_golden.py",
+    "tests/test_match_trie_golden.py",
+    "tests/test_stage2alt_golden.py",
+    "tests/test_edge_cases.py",
+]
+
+
+def main() -> int:
+    env = dict(os.environ)
+    env["SCTAG_TEST_TPU"] = "1"
+    extra = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = f"{REPO}:{extra}" if extra else str(REPO)
+    args = sys.argv[1:] or SUBSET
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", *args, "-q", "-p", "no:cacheprovider"],
+        env=env, cwd=str(REPO), capture_output=True, text=True,
+        timeout=4 * 3600,
+    )
+    wall = time.perf_counter() - t0
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    m = re.search(r"(\d+) passed", tail)
+    record = {
+        "ok": proc.returncode == 0,
+        "passed": int(m.group(1)) if m else 0,
+        "summary": tail,
+        "files": args,
+        "backend_env": "SCTAG_TEST_TPU=1 (ambient axon TPU)",
+        "wall_s": round(wall, 1),
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    if proc.returncode != 0:
+        record["stdout_tail"] = proc.stdout[-4000:]
+        record["stderr_tail"] = proc.stderr[-2000:]
+    (REPO / "TPU_SUITE.json").write_text(json.dumps(record, indent=1) + "\n")
+    print(json.dumps(record))
+    return proc.returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())
