@@ -69,12 +69,42 @@ _CHARS_BUDGET = int(
 
 
 def _read_buckets(lengths: np.ndarray) -> list[int]:
-    nz = lengths[lengths > 0]
+    """Quantile-candidate buckets, greedily pruned by padded-volume savings.
+
+    Padding waste is pure upload waste on the (bandwidth-bound, 4-57 MB/s
+    measured 2026-08-19) axon tunnel, so each extra bucket must pay for its
+    extra compiled shape: a candidate splits off only if keeping it shrinks
+    the TOTAL padded volume by >= 8%. Candidates snap to the kernel's padded
+    lengths (pad_len) so equal-shape candidates collapse; result capped at 4
+    shapes (each costs a fresh ~4-40 min remote compile per process)."""
+    from ..ops.adapter_pallas import pad_len
+
+    nz = np.sort(lengths[lengths > 0])
     if nz.size == 0:
         return [64]
-    qs = np.quantile(nz, [0.9, 1.0])
-    out = sorted({max(64, int(round_up(int(q), 64))) for q in qs})
-    return out
+    cands = sorted(
+        {pad_len(max(64, int(q))) for q in np.quantile(nz, [0.5, 0.75, 0.9, 1.0])}
+    )
+
+    def volume(bs: list[int]) -> int:
+        v, lo = 0, 0
+        for b in bs:
+            hi = int(np.searchsorted(nz, b, side="right"))
+            v += (hi - lo) * b
+            lo = hi
+        return v
+
+    keep = list(cands)
+    changed = True
+    while changed and len(keep) > 1:
+        changed = False
+        for i in range(len(keep) - 1):  # the max bucket always stays
+            trial = keep[:i] + keep[i + 1 :]
+            if volume(trial) <= 1.08 * volume(keep):
+                keep = trial
+                changed = True
+                break
+    return keep[-4:] if len(keep) > 4 else keep
 
 
 def _chunk_for(L: int) -> int:

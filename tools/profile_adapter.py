@@ -57,12 +57,21 @@ out = np.asarray(_adapter_scan_call(text_d, lens_d, peq_d, m, L))
 print("warm call", round(time.perf_counter() - t0, 2), "s")
 
 K = 5
+bp = L * B
 t0 = time.perf_counter()
 for _ in range(K):
     out = np.asarray(_adapter_scan_call(text_d, lens_d, peq_d, m, L))
 dt = (time.perf_counter() - t0) / K
-bp = L * B
 print(f"kernel+smallfetch: {dt*1e3:.1f} ms/chunk -> {bp/dt/1e6:.1f} Mbp/s (padded)")
+
+# kernel-only: dispatch K back-to-back (device executes FIFO), then force
+# completion with a 32-byte fetch of the LAST output — the tunnel's variable
+# fetch bandwidth (4-57 MB/s measured 2026-08-19) stays out of the timing
+t0 = time.perf_counter()
+outs = [_adapter_scan_call(text_d, lens_d, peq_d, m, L) for _ in range(K)]
+np.asarray(outs[-1][0, 0, :8])
+dt = (time.perf_counter() - t0) / K
+print(f"kernel-only (tiny fetch): {dt*1e3:.1f} ms/chunk -> {bp/dt/1e6:.1f} Mbp/s (padded)")
 
 t0 = time.perf_counter()
 for i in range(K):
