@@ -40,13 +40,15 @@ from .myers import high_bit
 DEF_BR = 1024  # reads per block (lanes); best of tools/sweep_blocks.py
 DEF_BP = 256  # patterns per block (sublanes)
 
-# ROADMAP experiment flag (measured by tools/profile_match_variants.py):
-# SCTAG_MATCH_HB=1 turns on high-bit score accumulation by default — fuse
+# High-bit score accumulation (DEFAULT ON; SCTAG_MATCH_HB=0 reverts): fuse
 # the two per-char score carry updates into one masked-subtract + arithmetic
-# shift (valid for m < 32: the ph & mh high bits are mutually exclusive, so
-# the difference is in {high, 0, -high} and >> (m-1) yields {1, 0, -1}).
+# shift — valid for m < 32 because the ph & mh high bits are mutually
+# exclusive, so the difference is in {high, 0, -high} and >> (m-1) yields
+# {1, 0, -1}. Measured +3.1% on the flagship bench shape with bit-identical
+# output (MATCH_VARIANTS.json, 2026-08-20); _myers_hw_step falls back to the
+# two-update form for m >= 32 or int16 words.
 def _hb_default() -> bool:
-    return os.environ.get("SCTAG_MATCH_HB", "0") == "1"
+    return os.environ.get("SCTAG_MATCH_HB", "1") == "1"
 
 
 def _wrapped_const(value: int, wdt) -> jnp.ndarray:
@@ -260,7 +262,9 @@ def _match_full_dynls_kernel(
     hb: bool = False,
 ):
     """_match_full_kernel with the sweep stopped at the block's max segment
-    length (mlen_ref (1,1) SMEM scalar) — ROADMAP early-out experiment."""
+    length (mlen_ref = the full (1, n_read_blocks) SMEM array, indexed by
+    the read-block program id: Mosaic rejects (1,1) SMEM blocks) — the
+    ROADMAP early-out experiment."""
     bp, br = peq_ref.shape[0], seg_ref.shape[1]
     j = pl.program_id(1)
 
@@ -272,7 +276,10 @@ def _match_full_dynls_kernel(
             out_ref[t + 2 : t + 3, :] = jnp.full((1, br), BIG, jnp.int32)
 
     seg32_ref[:, :] = seg_ref[:, :].astype(jnp.int32)
-    best = _dp_sweep(seg32_ref, peq_ref, m=m, ls=ls, ls_dyn=mlen_ref[0, 0], hb=hb)
+    best = _dp_sweep(
+        seg32_ref, peq_ref, m=m, ls=ls,
+        ls_dyn=mlen_ref[0, pl.program_id(0)], hb=hb,
+    )
 
     d_old = out_ref[0:1, :]
     block_min = jnp.min(best, axis=0, keepdims=True)
@@ -325,7 +332,9 @@ def match_full_dynls_tpu(
         in_specs=[
             pl.BlockSpec((ls, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, r // br), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (TIES_K + 2, br), lambda i, j: (0, i), memory_space=pltpu.VMEM
