@@ -321,3 +321,77 @@ def read_fastqs(fastqs: Sequence[str], gzipped: bool = False, quiet: bool = Fals
         bpos += buf.size
         npos += cnt
     return rnames, SeqBuffer(all_buf, all_offs)
+
+
+def read_fastqs_stream(
+    fastqs: Sequence[str],
+    gzipped: bool = False,
+    batch_records: int = 250_000,
+    quiet: bool = False,
+):
+    """Yield (names: list[str], seqs: SeqBuffer) batches in global read order.
+
+    The native incremental parser emits complete (name, sequence) records per
+    batch, so the caller can overlap ingest of batch i+1 with device work on
+    batch i (stage-1 pipeline). Semantics match read_fastqs except that a
+    trailing header line without its sequence line is dropped rather than
+    returned as a dangling name — the stage drivers slice
+    ``rnames[:len(seqs)]`` anyway (the reference's zip behavior).
+
+    Raises OSError if the native library is unavailable (callers pick the
+    non-streaming path then).
+    """
+    import ctypes
+
+    from ..native import build as native_build
+
+    lib = native_build.load()
+    for fastq in fastqs:
+        if not quiet:
+            print(f"Reading {fastq}", file=sys.stderr)
+        err = ctypes.c_char_p()
+        h = lib.sctag_fastq_stream_open(fastq.encode(), ctypes.byref(err))
+        if not h:
+            msg = err.value.decode() if err.value else "unknown error"
+            lib.sctag_free(err)
+            raise OSError(f"{fastq}: {msg}")
+        try:
+            while True:
+                names_buf = ctypes.c_char_p()
+                names_len = ctypes.c_int64()
+                n_recs = ctypes.c_int64()
+                seq_buf = ctypes.c_char_p()
+                seq_offs = ctypes.POINTER(ctypes.c_int64)()
+                rc = lib.sctag_fastq_stream_next(
+                    h, batch_records,
+                    ctypes.byref(names_buf), ctypes.byref(names_len),
+                    ctypes.byref(n_recs), ctypes.byref(seq_buf),
+                    ctypes.byref(seq_offs), ctypes.byref(err),
+                )
+                if rc < 0:
+                    msg = err.value.decode() if err.value else "unknown error"
+                    lib.sctag_free(err)
+                    raise OSError(f"{fastq}: {msg}")
+                if rc == 0:
+                    break
+                nb = ctypes.string_at(names_buf, names_len.value)
+                lib.sctag_free(names_buf)
+                names = nb.decode("latin-1").split("\n")[:-1] if nb else []
+                n = n_recs.value
+                owner = _NativeMem(lib, seq_buf, seq_offs)
+                offs = np.frombuffer(
+                    (ctypes.c_int64 * (n + 1)).from_address(
+                        ctypes.cast(seq_offs, ctypes.c_void_p).value
+                    ),
+                    dtype=np.int64,
+                )
+                sz = int(offs[n])
+                buf = np.frombuffer(
+                    (ctypes.c_ubyte * sz).from_address(
+                        ctypes.cast(seq_buf, ctypes.c_void_p).value
+                    ),
+                    dtype=np.uint8,
+                ) if sz else np.empty(0, np.uint8)
+                yield names, SeqBuffer(buf, offs, owner)
+        finally:
+            lib.sctag_fastq_stream_close(h)

@@ -150,6 +150,23 @@ def load():
         ctypes.POINTER(ctypes.c_int64),     # spill
         ctypes.POINTER(ctypes.c_char_p),    # error
     ]
+    lib.sctag_fastq_stream_open.restype = ctypes.c_void_p
+    lib.sctag_fastq_stream_open.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.sctag_fastq_stream_next.restype = ctypes.c_int
+    lib.sctag_fastq_stream_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.sctag_fastq_stream_close.restype = None
+    lib.sctag_fastq_stream_close.argtypes = [ctypes.c_void_p]
     lib.sctag_file_size.restype = ctypes.c_int64
     lib.sctag_file_size.argtypes = [ctypes.c_char_p]
     lib.sctag_free.restype = None

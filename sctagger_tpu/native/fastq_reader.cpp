@@ -77,6 +77,7 @@ struct FastqOut {
     std::vector<int64_t> offs;    // n_seqs + 1 offsets into seqs
     int64_t n_names = 0;
     int64_t n_lines = 0;          // total lines (records = n_lines / 4)
+    int64_t names_done = 0;       // bytes of names covering COMPLETE records
     std::string error;
 };
 
@@ -160,6 +161,7 @@ class FastqParser {
             while (j > 0 && is_ws((unsigned char)l[j - 1])) j--;
             out_.seqs.append(l, j);
             out_.offs.push_back((int64_t)out_.seqs.n);
+            out_.names_done = (int64_t)out_.names.n;  // record complete
         }
         line_idx_++;
         out_.n_lines = line_idx_;
@@ -366,6 +368,134 @@ void sctag_gather_rows(const char* seq_buf, const int64_t* offs,
         pos += len;
         out_offs[i + 1] = pos;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Incremental FASTQ stream: parse-in-batches so the caller can overlap host
+// ingest with device dispatch (stage-1 pipeline). Emits COMPLETE
+// (name, sequence) records only; a trailing header whose sequence line has
+// not arrived yet is held back until it completes (or dropped at EOF — the
+// drivers slice rnames[:len(seqs)] anyway, matching the reference's zip).
+// ---------------------------------------------------------------------------
+
+struct FastqStream {
+    bool gz = false;
+    FILE* f = nullptr;
+    gzFile zf = nullptr;
+    FastqOut out;
+    FastqParser parser;
+    std::vector<char> chunk;
+    bool at_eof = false;
+
+    FastqStream() : parser(out), chunk(1 << 22) {}
+    ~FastqStream() {
+        if (f) std::fclose(f);
+        if (zf) gzclose(zf);
+    }
+};
+
+// Open; returns nullptr with *error set on failure.
+void* sctag_fastq_stream_open(const char* path, char** error) {
+    *error = nullptr;
+    FILE* sf = std::fopen(path, "rb");
+    if (!sf) {
+        *error = dup_malloc("cannot open file");
+        return nullptr;
+    }
+    unsigned char magic[2] = {0, 0};
+    size_t got = std::fread(magic, 1, 2, sf);
+    bool gz = got == 2 && magic[0] == 0x1f && magic[1] == 0x8b;
+    auto* st = new FastqStream();
+    st->gz = gz;
+    if (gz) {
+        std::fclose(sf);
+        st->zf = gzopen(path, "rb");
+        if (!st->zf) {
+            delete st;
+            *error = dup_malloc("cannot open file");
+            return nullptr;
+        }
+        gzbuffer(st->zf, 1 << 20);
+    } else {
+        std::fseek(sf, 0, SEEK_SET);
+        st->f = sf;
+    }
+    return st;
+}
+
+// Parse until >= min_records COMPLETE records accumulated (or EOF), then
+// emit them all: *names_buf = '\n'-joined names (malloc'd), *seq_buf =
+// concatenated bytes (malloc'd), *seq_offs = (n_recs+1) int64 offsets from
+// 0 (malloc'd). Returns 1 if any records emitted, 0 on clean EOF with none
+// left, -1 on error (*error malloc'd). Free outputs with sctag_free.
+int sctag_fastq_stream_next(void* h, int64_t min_records, char** names_buf,
+                            int64_t* names_len, int64_t* n_recs,
+                            char** seq_buf, int64_t** seq_offs, char** error) {
+    auto* st = static_cast<FastqStream*>(h);
+    *error = nullptr;
+    *names_buf = nullptr;
+    *seq_buf = nullptr;
+    *seq_offs = nullptr;
+    *names_len = *n_recs = 0;
+    FastqOut& out = st->out;
+    while (!st->at_eof &&
+           (int64_t)out.offs.size() - 1 < (min_records < 1 ? 1 : min_records)) {
+        size_t got;
+        if (st->gz) {
+            int g = gzread(st->zf, st->chunk.data(), (unsigned)st->chunk.size());
+            if (g < 0) {
+                *error = dup_malloc("gzip read error");
+                return -1;
+            }
+            got = (size_t)g;
+        } else {
+            got = std::fread(st->chunk.data(), 1, st->chunk.size(), st->f);
+            if (got == 0 && std::ferror(st->f)) {
+                *error = dup_malloc("read error");
+                return -1;
+            }
+        }
+        if (got == 0) {
+            st->at_eof = true;
+            if (!st->parser.eof()) {
+                *error = dup_malloc(out.error);
+                return -1;
+            }
+            break;
+        }
+        if (!st->parser.feed(st->chunk.data(), got)) {
+            *error = dup_malloc(out.error);
+            return -1;
+        }
+    }
+    int64_t k = (int64_t)out.offs.size() - 1;  // complete records buffered
+    if (k == 0) return 0;
+    // emit names [0, names_done), all recorded seqs, zero-based offsets
+    int64_t nd = out.names_done;
+    *names_buf = (char*)std::malloc((size_t)nd + 1);
+    std::memcpy(*names_buf, out.names.p, (size_t)nd);
+    (*names_buf)[nd] = 0;
+    *names_len = nd;
+    int64_t sz = out.offs.back();
+    *seq_buf = (char*)std::malloc((size_t)(sz ? sz : 1));
+    if (sz) std::memcpy(*seq_buf, out.seqs.p, (size_t)sz);
+    *seq_offs = (int64_t*)std::calloc((size_t)k + 1, sizeof(int64_t));
+    std::memcpy(*seq_offs, out.offs.data(), sizeof(int64_t) * (size_t)(k + 1));
+    *n_recs = k;
+    // compact: keep only the dangling (header-without-sequence) name tail
+    int64_t tail = (int64_t)out.names.n - nd;
+    if (tail > 0) std::memmove(out.names.p, out.names.p + nd, (size_t)tail);
+    out.names.n = (size_t)tail;
+    out.names_done = 0;
+    out.n_names -= k;
+    out.seqs.n = 0;
+    out.offs.clear();
+    out.offs.push_back(0);
+    return 1;
+}
+
+void sctag_fastq_stream_close(void* h) {
+    delete static_cast<FastqStream*>(h);
 }
 
 }  // extern "C"
