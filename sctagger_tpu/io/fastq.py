@@ -179,6 +179,103 @@ class SeqBuffer:
         return out, lens.astype(np.int32), junk.astype(bool)
 
 
+class ChainSeqBuffer:
+    """Concatenated zero-copy view over per-batch :class:`SeqBuffer` parts.
+
+    The streaming stage-1 ingest (``read_fastqs_stream``) yields one
+    SeqBuffer per batch; this chain presents them as one global-row-indexed
+    sequence store with the surface the stage drivers and scanners use
+    (``len``, ``lengths``, ``substr``, ``__getitem__``, ``encode_batch``,
+    ``encode_packed``) — row lookups route to the owning part instead of
+    copying the underlying byte buffers into one arena.
+    """
+
+    def __init__(self, parts: Sequence[SeqBuffer] = ()):
+        self.parts: list[SeqBuffer] = []
+        self._starts = np.zeros(1, np.int64)  # global row offset per part
+        self._lengths: np.ndarray | None = None
+        for p in parts:
+            self.append(p)
+
+    def append(self, part: SeqBuffer) -> None:
+        self.parts.append(part)
+        self._starts = np.append(self._starts, self._starts[-1] + len(part))
+        self._lengths = None
+
+    def __len__(self) -> int:
+        return int(self._starts[-1])
+
+    @property
+    def lengths(self) -> np.ndarray:
+        if self._lengths is None:
+            self._lengths = (
+                np.concatenate([np.asarray(p.lengths) for p in self.parts])
+                if self.parts
+                else np.zeros(0, np.int64)
+            )
+        return self._lengths
+
+    def _locate(self, i: int) -> tuple[SeqBuffer, int]:
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        p = int(np.searchsorted(self._starts, i, side="right")) - 1
+        return self.parts[p], i - int(self._starts[p])
+
+    def __getitem__(self, i) -> str:
+        part, j = self._locate(int(i))
+        return part[j]
+
+    def __iter__(self):
+        for p in self.parts:
+            yield from p
+
+    def substr(self, i: int, s, e) -> str:
+        part, j = self._locate(int(i))
+        return part.substr(j, s, e)
+
+    def _route(self, idx) -> tuple[np.ndarray, np.ndarray]:
+        idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+        pid = np.searchsorted(self._starts, idx, side="right") - 1
+        return idx, pid
+
+    def encode_batch(
+        self, idx, pad_to: int, table: np.ndarray, pad_code: int, dtype=np.uint8
+    ) -> tuple[np.ndarray, np.ndarray]:
+        idx, pid = self._route(idx)
+        out = np.zeros((idx.size, pad_to), dtype=np.uint8)
+        lens = np.zeros(idx.size, np.int32)
+        for p in np.unique(pid):
+            rows = np.flatnonzero(pid == p)
+            o, l = self.parts[p].encode_batch(
+                idx[rows] - int(self._starts[p]), pad_to, table, pad_code
+            )
+            out[rows] = o
+            lens[rows] = l
+        if dtype != np.uint8:
+            out = out.astype(dtype)
+        return out, lens
+
+    def encode_packed(
+        self, idx, pad_to: int, table: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        idx, pid = self._route(idx)
+        out = np.zeros((idx.size, pad_to // 4), dtype=np.uint8)
+        lens = np.zeros(idx.size, np.int32)
+        junk = np.zeros(idx.size, bool)
+        for p in np.unique(pid):
+            rows = np.flatnonzero(pid == p)
+            o, l, j = self.parts[p].encode_packed(
+                idx[rows] - int(self._starts[p]), pad_to, table
+            )
+            out[rows] = o
+            lens[rows] = l
+            junk[rows] = j
+        return out, lens, junk
+
+
 def read_fastqs_py(
     fastqs: Sequence[str], gzipped: bool = False, quiet: bool = False
 ):

@@ -328,6 +328,193 @@ def scan_adapters(
     return AdapterScanResult(strands, dists, flat, loc_counts)
 
 
+def scan_adapters_stream(
+    batches,
+    adapter: str,
+    progress: bool = False,
+    force_kernel: bool = False,
+):
+    """Streaming stage-1 scan: overlap FASTQ ingest with device compute.
+
+    ``batches`` yields ``(names, SeqBuffer)`` in global read order (normally
+    ``io.fastq.read_fastqs_stream`` driven from a producer thread, so the
+    C-level parse/inflate of batch i+1 runs while this consumer encodes and
+    dispatches batch i). Returns ``(rnames, chain, AdapterScanResult)`` where
+    ``chain`` is the ChainSeqBuffer holding every batch (the stage writer
+    needs the read text for segments).
+
+    Shape discipline (CLAUDE.md): length buckets are fitted on the FIRST
+    batch and only extended — up to 6 compiled shapes — when a later batch
+    brings strictly longer reads; beyond that, over-long reads take the exact
+    mask fallback. Partial bucket chunks carry over between batches so the
+    per-bucket batch shape stays ONE compiled (b_pad) shape.
+
+    Non-kernel configurations (host CPU without ``force_kernel``, multiword
+    adapters) accumulate the chain and delegate to :func:`scan_adapters` —
+    identical results, no ingest overlap.
+    """
+    from ..io.fastq import ChainSeqBuffer
+
+    m = len(adapter)
+    mw = m > MAX_PATTERN_LEN
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = (on_tpu or force_kernel) and not mw
+
+    rnames: list[str] = []
+    chain = ChainSeqBuffer()
+    if not use_kernel:
+        for names, sb in batches:
+            rnames.extend(names)
+            chain.append(sb)
+        return rnames, chain, scan_adapters(chain, adapter, progress=progress)
+
+    from ..ops.adapter_pallas import adapter_scan_dispatch_packed, pad_len
+    from ..parallel.mesh import local_mesh
+
+    a2 = rev_compl(adapter)
+    pat_stack = np.stack(
+        [encode_str(adapter, STRICT_TABLE), encode_str(a2, STRICT_TABLE)]
+    )
+    peq2_np = np.asarray(build_peq_multi(pat_stack))
+    with prof_timer("scan.mesh_init"):
+        mesh = local_mesh(model_parallel=1)
+    n_mesh = int(mesh.shape["data"]) if mesh is not None else 1
+
+    MAX_BUCKETS = 6  # hard cap on compiled shapes (each ~3.5min on axon)
+    buckets: list[int] = []
+    pend_idx: dict[int, list[np.ndarray]] = {}  # bucket L -> carried row ids
+    pend_n: dict[int, int] = {}
+
+    strands = full_fast(1024, -1, np.int8)
+    dists = full_fast(1024, -1, np.int32)
+    loc_rids: list[np.ndarray] = []
+    loc_vals: list[np.ndarray] = []
+    rev_tasks_rid: list[np.ndarray] = []
+    rev_tasks_end: list[np.ndarray] = []
+    overflow_rids: list[int] = []
+    pending: list[tuple] = []
+    MAX_INFLIGHT = 64
+
+    def _drain(limit: int) -> None:
+        while len(pending) > limit:
+            dev, psub, B, junk = pending.pop(0)
+            with prof_timer("scan.sync"):
+                out_np = np.asarray(dev)
+            with prof_timer("scan.collect"):
+                _kernel_collect(
+                    out_np, B, psub,
+                    strands, dists, loc_rids, loc_vals,
+                    rev_tasks_rid, rev_tasks_end, overflow_rids,
+                    junk=junk,
+                )
+
+    def _dispatch(L: int, sub: np.ndarray) -> None:
+        chunk = _chunk_for(L) * n_mesh
+        with prof_timer("scan.encode"):
+            pk, sub_lens, junk = chain.encode_packed(
+                sub, pad_to=pad_len(L), table=STRICT_TABLE
+            )
+        with prof_timer("scan.dispatch"):
+            dev = adapter_scan_dispatch_packed(
+                pk, sub_lens, peq2_np, m, pad_len(L),
+                b_pad=chunk, interpret=not on_tpu, mesh=mesh,
+            )
+        pending.append((dev, sub, sub.size, junk))
+        _drain(MAX_INFLIGHT)
+
+    for names, sb in batches:
+        rnames.extend(names)
+        off = len(chain)
+        chain.append(sb)
+        if len(sb) == 0:
+            continue
+        n = len(chain)
+        if strands.size < n:  # grow accumulators; _drain sees the rebinding
+            cap = max(n, 2 * strands.size)
+            ns = full_fast(cap, -1, np.int8)
+            ns[: strands.size] = strands
+            strands = ns
+            nd = full_fast(cap, -1, np.int32)
+            nd[: dists.size] = dists
+            dists = nd
+        lens_b = np.asarray(sb.lengths)
+        if not buckets:
+            buckets = list(_read_buckets(lens_b))
+        if int(lens_b.max()) > buckets[-1] and len(buckets) < MAX_BUCKETS:
+            newL = pad_len(int(lens_b.max()))
+            if newL > buckets[-1]:
+                buckets.append(newL)
+                if progress:
+                    print(f"[scan] new length bucket {newL}", file=sys.stderr)
+        barr = np.asarray(buckets, np.int64)
+        bi_of = np.searchsorted(barr, lens_b, side="left")
+        too_long = np.flatnonzero(bi_of >= len(buckets))
+        if too_long.size:  # beyond every bucket: exact mask fallback
+            overflow_rids.extend((off + too_long).tolist())
+        for k, L in enumerate(buckets):
+            sel = np.flatnonzero(bi_of == k)
+            if sel.size == 0:
+                continue
+            if progress:
+                print(
+                    f"[scan] bucket<= {L}: {sel.size} reads", file=sys.stderr
+                )
+            pend_idx.setdefault(L, []).append(off + sel.astype(np.int64))
+            pend_n[L] = pend_n.get(L, 0) + sel.size
+            chunk = _chunk_for(L) * n_mesh
+            while pend_n[L] >= chunk:
+                allidx = np.concatenate(pend_idx[L])
+                _dispatch(L, allidx[:chunk])
+                rest = allidx[chunk:]
+                pend_idx[L] = [rest] if rest.size else []
+                pend_n[L] = int(rest.size)
+
+    for L in sorted(pend_idx):  # flush carried slivers (same b_pad shapes)
+        if pend_n.get(L, 0):
+            _dispatch(L, np.concatenate(pend_idx[L]))
+    _drain(0)
+
+    n = len(chain)
+    strands = strands[:n]
+    dists = dists[:n]
+    lengths = np.asarray(chain.lengths, np.int64)
+
+    if overflow_rids:
+        if progress:
+            print(
+                f"[scan] mask fallback for {len(overflow_rids)} reads",
+                file=sys.stderr,
+            )
+        ov = np.array(sorted(set(overflow_rids)), dtype=np.int64)
+        mask_mesh = mesh if jax.default_backend() != "tpu" else None
+        for s, e in batch_iter(ov.size, 256):
+            sub = ov[s:e]
+            L = int(round_up(max(lengths[sub].max(), 1), 32))
+            codes, _ = encode_rows(chain, sub, pad_to=L)
+            _mask_chunk(
+                codes, lengths[sub], peq2_np, m, sub,
+                strands, dists, loc_rids, loc_vals,
+                rev_tasks_rid, rev_tasks_end, mesh=mask_mesh,
+            )
+
+    with prof_timer("scan.rev_recovery"):
+        _recover_rev_starts(
+            chain, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists,
+            loc_rids, loc_vals,
+        )
+
+    if loc_rids:
+        rid_all = np.concatenate(loc_rids)
+        val_all = np.concatenate(loc_vals)
+        order = np.argsort(rid_all, kind="stable")
+        flat = np.ascontiguousarray(val_all[order])
+        loc_counts = np.bincount(rid_all, minlength=n).astype(np.int64)
+    else:
+        flat = np.empty(0, dtype=np.int64)
+        loc_counts = np.zeros(n, dtype=np.int64)
+    return rnames, chain, AdapterScanResult(strands, dists, flat, loc_counts)
+
+
 def _mask_chunk(
     codes, sub_lens, peq2, m, sub,
     strands, dists, loc_rids, loc_vals, rev_tasks_rid, rev_tasks_end,

@@ -70,10 +70,86 @@ def _detect_ranges_dist(group, locs_f: np.ndarray, locs_r: np.ndarray):
     return out
 
 
+def _stream_batches(args, q):
+    """Consumer-side iterator over the producer thread's parse queue."""
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def _run_stream(args, stats):
+    """Single-host streaming path: FASTQ parse (producer thread, C-level
+    inflate releases the GIL) overlaps encode+dispatch+collect (consumer) —
+    the ROADMAP 'stage-1 host-phase overlap' item. Returns
+    (rnames, seqs: ChainSeqBuffer, scan) or None if the native streaming
+    parser is unavailable (callers use the one-shot path then)."""
+    import queue
+    import threading
+
+    from ..io.fastq import read_fastqs_stream
+    from ..models.adapter import scan_adapters_stream
+
+    try:
+        from ..native import build as native_build
+
+        native_build.load()
+    except Exception:
+        return None
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def _produce():
+        try:
+            with prof_timer("stage.read_fastq"):
+                for b in read_fastqs_stream(args.reads, args.gzipped):
+                    q.put(b)
+            q.put(None)
+        except BaseException as ex:  # surfaced by _stream_batches
+            q.put(ex)
+
+    threading.Thread(target=_produce, daemon=True).start()
+    with stats.timer("adapter_scan"):
+        rnames, seqs, scan = scan_adapters_stream(
+            _stream_batches(args, q), args.short_read_adapter, progress=True
+        )
+    print(
+        f"Aligned {args.short_read_adapter} to {len(seqs)} reads",
+        file=sys.stderr,
+    )
+    return rnames, seqs, scan
+
+
 def _run(args, stats) -> None:
+    import os as _os
+
     n_hosts = getattr(args, "n_hosts", 1) or 1
     multi = n_hosts > 1
     group = None
+    store = PartStore(
+        "extract_lr_bc_scan",
+        job_key(
+            "extract_lr_bc_scan",
+            list(args.reads),
+            {"sa": args.short_read_adapter, "z": bool(args.gzipped)},
+        ),
+    )
+    streamed = None
+    if (
+        not multi
+        and not store.enabled
+        and _os.environ.get("SCTAG_STREAM", "1") != "0"
+    ):
+        streamed = _run_stream(args, stats)
+    if streamed is not None:
+        rnames, seqs, scan = streamed
+        stats.count("reads", len(seqs))
+        stats.timers.update(PROF)
+        _emit(args, stats, rnames, seqs, scan, multi, group)
+        return
     if multi:
         from ..parallel.multihost import make_host_group
 
@@ -96,14 +172,6 @@ def _run(args, stats) -> None:
         file=sys.stderr,
     )
     stats.count("reads", len(seqs))
-    store = PartStore(
-        "extract_lr_bc_scan",
-        job_key(
-            "extract_lr_bc_scan",
-            list(args.reads),
-            {"sa": args.short_read_adapter, "z": bool(args.gzipped)},
-        ),
-    )
     with stats.timer("adapter_scan"):
         if store.enabled and multi:
             # shard-dependent batch contents would collide on one job key
@@ -149,7 +217,11 @@ def _run(args, stats) -> None:
         else:
             scan = scan_adapters(seqs, args.short_read_adapter, progress=True)
     stats.timers.update(PROF)  # per-phase scan diagnostics (utils.prof_timer)
+    _emit(args, stats, rnames, seqs, scan, multi, group)
 
+
+def _emit(args, stats, rnames, seqs, scan, multi, group) -> None:
+    """Shared stage tail: range detection -> filtering -> TSV -> plot."""
     rf_t = prof_timer("stage.ranges_filter").__enter__()
     preset = args.ranges
     if len(preset[0]) + len(preset[1]) == 0:

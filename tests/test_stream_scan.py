@@ -1,0 +1,170 @@
+"""Streaming stage-1 ingest: ChainSeqBuffer semantics and
+scan_adapters_stream parity with the one-shot scan (kernel path in
+pallas-interpret mode, multi-batch, bucket extension, junk + overflow
+fallbacks), plus driver-level byte parity of SCTAG_STREAM on/off."""
+
+import gzip
+import pathlib
+
+import numpy as np
+import pytest
+
+from sctagger_tpu.cli import main as cli_main
+from sctagger_tpu.core import rev_compl
+from sctagger_tpu.io.fastq import ChainSeqBuffer, SeqBuffer
+from sctagger_tpu.models.adapter import scan_adapters, scan_adapters_stream
+
+from oracle import mutate, random_dna
+
+ADAPTER = "CTACACGACGCTCTTCCGATCT"
+
+
+def make_sb(seqs):
+    buf = np.frombuffer("".join(seqs).encode("latin-1"), dtype=np.uint8).copy()
+    offs = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offs[1:])
+    return SeqBuffer(buf if buf.size else np.zeros(0, np.uint8), offs)
+
+
+def test_chain_seqbuffer_surface():
+    a = ["ACGT", "", "GGGTTT"]
+    b = ["TTAACC"]
+    c = ["A" * 50, "CGCG"]
+    chain = ChainSeqBuffer([make_sb(a), make_sb(b), make_sb(c)])
+    ref = a + b + c
+    assert len(chain) == len(ref)
+    assert [chain[i] for i in range(len(ref))] == ref
+    assert list(chain) == ref
+    assert chain.lengths.tolist() == [len(s) for s in ref]
+    # substr with pythonic slices incl. negatives and e=None
+    for i, s in enumerate(ref):
+        assert chain.substr(i, 1, -1) == s[1:-1]
+        assert chain.substr(i, -3, None) == s[-3:]
+        assert chain.substr(i, 0, 0) == ""
+    # negative global index
+    assert chain[-1] == ref[-1]
+    with pytest.raises(IndexError):
+        chain[len(ref)]
+
+
+def test_chain_encode_routes_across_parts():
+    from sctagger_tpu.core.packing import CODE_PAD, STRICT_TABLE, encode_seqs
+
+    parts = [["ACGTACGT", "TTTT"], ["GGCCGGCC", "ACGTN" + "ACG"], ["T" * 12]]
+    flat = [s for p in parts for s in p]
+    chain = ChainSeqBuffer([make_sb(p) for p in parts])
+    idx = np.array([4, 0, 3, 2, 1], np.int64)  # crosses all three parts
+    got, lens = chain.encode_batch(idx, 16, STRICT_TABLE, CODE_PAD)
+    want, wlens = encode_seqs([flat[i] for i in idx], 16, STRICT_TABLE)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(lens, wlens)
+    # packed twin: junk flag set exactly for the 'N' row
+    pk, plens, junk = chain.encode_packed(idx, 16, STRICT_TABLE)
+    one = ChainSeqBuffer([make_sb(flat)])
+    pk1, plens1, junk1 = one.encode_packed(idx, 16, STRICT_TABLE)
+    np.testing.assert_array_equal(pk, pk1)
+    np.testing.assert_array_equal(plens, plens1)
+    np.testing.assert_array_equal(junk, junk1)
+    assert junk.tolist() == [flat[i].count("N") > 0 for i in idx]
+
+
+def _flatten(res):
+    out = []
+    off = 0
+    for i in range(len(res.strands)):
+        c = int(res.loc_counts[i])
+        out.append(
+            (
+                int(res.strands[i]),
+                int(res.dists[i]),
+                tuple(res.flat_locs[off : off + c].tolist()),
+            )
+        )
+        off += c
+    return out
+
+
+def _gen_reads(rng, n, lo=50, hi=400):
+    seqs = []
+    for _ in range(n):
+        ln = int(rng.integers(lo, hi))
+        t = random_dna(rng, ln)
+        r = rng.random()
+        if r < 0.35:
+            pos = int(rng.integers(0, 25))
+            t = t[:pos] + mutate(rng, ADAPTER, int(rng.integers(0, 3))) + t[pos:]
+        elif r < 0.7:
+            pos = max(0, ln - int(rng.integers(5, 30)))
+            t = (
+                t[:pos]
+                + mutate(rng, rev_compl(ADAPTER), int(rng.integers(0, 3)))
+                + t[pos:]
+            )
+        seqs.append(t)
+    return seqs
+
+
+def test_stream_kernel_equals_oneshot():
+    rng = np.random.default_rng(77)
+    b1 = _gen_reads(rng, 40)
+    # batch 2 brings longer reads (bucket extension) + junk + overflow rows
+    b2 = _gen_reads(rng, 30, lo=500, hi=900)
+    b2.append("CC" + (ADAPTER + "TTT") * 8 + "GG")  # cnt > SLOTS_K
+    b2.append("GG" + "N" * 30 + ADAPTER + random_dna(rng, 60))  # junk
+    b3 = _gen_reads(rng, 25) + ["", "N" * 40]
+    all_reads = b1 + b2 + b3
+
+    ref = scan_adapters(all_reads, ADAPTER, force_kernel=True)
+    batches = [
+        ([f"r{i}" for i in range(len(b1))], make_sb(b1)),
+        ([f"s{i}" for i in range(len(b2))], make_sb(b2)),
+        ([f"t{i}" for i in range(len(b3))], make_sb(b3)),
+    ]
+    names, chain, got = scan_adapters_stream(
+        iter(batches), ADAPTER, force_kernel=True
+    )
+    assert len(names) == len(all_reads)
+    assert list(chain) == all_reads
+    assert _flatten(got) == _flatten(ref)
+
+
+def test_stream_empty_input():
+    names, chain, got = scan_adapters_stream(iter([]), ADAPTER, force_kernel=True)
+    assert names == [] and len(chain) == 0
+    assert got.strands.size == 0 and got.loc_counts.size == 0
+
+
+def _make_fastq(tmp_path: pathlib.Path, rng, n_reads):
+    lines = []
+    for i in range(n_reads):
+        n = int(rng.integers(60, 280))
+        seq = random_dna(rng, n)
+        r = rng.random()
+        if r < 0.45:
+            pos = int(rng.integers(5, 30))
+            seq = seq[:pos] + mutate(rng, ADAPTER, int(rng.integers(0, 4))) + seq[pos:]
+        elif r < 0.85:
+            cut = max(0, len(seq) - int(rng.integers(5, 30)))
+            seq = (
+                seq[:cut]
+                + mutate(rng, rev_compl(ADAPTER), int(rng.integers(0, 4)))
+                + seq[cut:]
+            )
+        lines.append(f"@read{i} x\n{seq}\n+\n{'I' * len(seq)}\n")
+    path = tmp_path / "reads.fastq"
+    path.write_text("".join(lines))
+    return path
+
+
+def test_driver_stream_matches_oneshot(tmp_path, monkeypatch):
+    rng = np.random.default_rng(91)
+    fq = _make_fastq(tmp_path, rng, 120)
+    out_a = tmp_path / "a.tsv.gz"
+    out_b = tmp_path / "b.tsv.gz"
+    monkeypatch.setenv("SCTAG_STREAM", "1")
+    cli_main(["extract_lr_bc", "-r", str(fq), "-o", str(out_a)])
+    monkeypatch.setenv("SCTAG_STREAM", "0")
+    cli_main(["extract_lr_bc", "-r", str(fq), "-o", str(out_b)])
+    assert gzip.decompress(out_a.read_bytes()) == gzip.decompress(
+        out_b.read_bytes()
+    )
