@@ -111,6 +111,15 @@ class SeqBuffer:
         o0, o1 = int(self.offs[i]), int(self.offs[i + 1])
         return self.buf[o0:o1][s:e].tobytes().decode("latin-1")
 
+    def row_ptrs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(absolute memory address of each row's first byte, row lengths).
+
+        Feeds the native TSV writer: it copies segment bytes straight out of
+        this arena, so the addresses are only valid while the buffer (and its
+        native owner) stay alive."""
+        base = self.buf.ctypes.data
+        return base + self.offs[:-1], np.diff(self.offs)
+
     def encode_batch(
         self, idx, pad_to: int, table: np.ndarray, pad_code: int, dtype=np.uint8
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -235,6 +244,13 @@ class ChainSeqBuffer:
     def substr(self, i: int, s, e) -> str:
         part, j = self._locate(int(i))
         return part.substr(j, s, e)
+
+    def row_ptrs(self) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenated per-part row addresses + lengths (see SeqBuffer)."""
+        if not self.parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ptrs, lens = zip(*(p.row_ptrs() for p in self.parts))
+        return np.concatenate(ptrs), np.concatenate(lens)
 
     def _route(self, idx) -> tuple[np.ndarray, np.ndarray]:
         idx = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))

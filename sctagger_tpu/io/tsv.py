@@ -37,6 +37,60 @@ def open_out(path: str | None, force_gzip: bool):
     return open(path, "w+")
 
 
+def write_lr_tsv_gz_native(path, rnames, seqs, dist, loc, s, e, valid) -> bool:
+    """Stage-1 TSV via the native formatter+gzip writer (one C pass).
+
+    ``seqs`` must expose ``row_ptrs()`` (SeqBuffer / ChainSeqBuffer); the
+    Python-slice math of ``seq[s:e or None]`` (scTagger.py:317-320) is
+    vectorized here into clamped per-row (ptr, len) pairs. Returns False when
+    the native path is unavailable (list[str] seqs, non-latin-1 names, lib
+    build failure) — callers fall back to the Python row writer.
+    """
+    import ctypes
+
+    import numpy as np
+
+    row_ptrs = getattr(seqs, "row_ptrs", None)
+    if row_ptrs is None:
+        return False
+    try:
+        from ..native import build as native_build
+
+        lib = native_build.load()
+    except Exception:
+        return False
+    n = min(len(rnames), len(seqs))
+    try:
+        blob = ("\n".join(rnames[:n]) + "\n").encode("latin-1") if n else b""
+    except UnicodeEncodeError:
+        return False
+    base, L = row_ptrs()
+    base = np.ascontiguousarray(base[:n], np.int64)
+    L = np.ascontiguousarray(L[:n], np.int64)
+    s = np.asarray(s[:n], np.int64)
+    e = np.asarray(e[:n], np.int64)
+    # Python slice semantics of seq[s:e or None]
+    sn = np.clip(np.where(s < 0, s + L, s), 0, L)
+    ee = np.where(e == 0, L, e)  # `e or None` -> slice to the end
+    en = np.clip(np.where(ee < 0, ee + L, ee), 0, L)
+    seg_len = np.ascontiguousarray(np.maximum(0, en - sn))
+    seg_ptr = np.ascontiguousarray((base + sn).astype(np.uint64))
+    dist64 = np.ascontiguousarray(dist[:n], np.int64)
+    loc64 = np.ascontiguousarray(loc[:n], np.int64)
+    v8 = np.ascontiguousarray(valid[:n], np.uint8)
+    err = ctypes.c_char_p()
+    rc = lib.sctag_write_lr_tsv_gz(
+        path.encode(), blob, len(blob), n,
+        dist64.ctypes.data, loc64.ctypes.data, v8.ctypes.data,
+        seg_ptr.ctypes.data, seg_len.ctypes.data, 4, ctypes.byref(err),
+    )
+    if rc != 0:
+        msg = err.value.decode() if err.value else "unknown error"
+        lib.sctag_free(err)
+        raise OSError(f"{path}: {msg}")
+    return True
+
+
 def read_lr_segments_tsv(path: str):
     """Stage-1 output -> (names, dists, locs, segments) parallel columns.
 

@@ -17,6 +17,7 @@ _SRCS = [
     _DIR / "tsv_reader.cpp",
     _DIR / "hash_table.cpp",
     _DIR / "exact_probe.cpp",
+    _DIR / "tsv_writer.cpp",
 ]
 _LIB = _DIR / "libsctag_io.so"
 
@@ -167,6 +168,20 @@ def load():
     ]
     lib.sctag_fastq_stream_close.restype = None
     lib.sctag_fastq_stream_close.argtypes = [ctypes.c_void_p]
+    lib.sctag_write_lr_tsv_gz.restype = ctypes.c_int
+    lib.sctag_write_lr_tsv_gz.argtypes = [
+        ctypes.c_char_p,                    # path
+        ctypes.c_char_p,                    # names blob ('\n'-joined)
+        ctypes.c_int64,                     # names_len
+        ctypes.c_int64,                     # n rows
+        ctypes.c_void_p,                    # dist (int64*)
+        ctypes.c_void_p,                    # loc (int64*)
+        ctypes.c_void_p,                    # valid (uint8*)
+        ctypes.c_void_p,                    # seg_ptr (uint64* addresses)
+        ctypes.c_void_p,                    # seg_len (int64*)
+        ctypes.c_int,                       # gzip level
+        ctypes.POINTER(ctypes.c_char_p),    # error
+    ]
     lib.sctag_file_size.restype = ctypes.c_int64
     lib.sctag_file_size.argtypes = [ctypes.c_char_p]
     lib.sctag_free.restype = None

@@ -288,19 +288,30 @@ def _emit(args, stats, rnames, seqs, scan, multi, group) -> None:
             )
     else:
         with prof_timer("stage.write"):
-            outfile = open_out(args.outfile, force_gzip=True)
-            print(f"Writng to {outfile}", file=sys.stderr)
-            # batched writes: 50K per-row TextIOWrapper.write calls cost ~0.3s
-            import itertools
+            wrote = False
+            if args.outfile is not None:
+                from ..io.tsv import write_lr_tsv_gz_native
 
-            rows = _rows()
-            while True:
-                chunk = list(itertools.islice(rows, 8192))
-                if not chunk:
-                    break
-                outfile.write("".join(chunk))
-            if outfile is not sys.stdout:
-                outfile.close()
+                print(f"Writng to {args.outfile}", file=sys.stderr)
+                wrote = write_lr_tsv_gz_native(
+                    args.outfile, rnames, seqs, dist, loc, s, e, valid
+                )
+            if not wrote:
+                outfile = open_out(args.outfile, force_gzip=True)
+                if args.outfile is None:
+                    print(f"Writng to {outfile}", file=sys.stderr)
+                # batched writes: 50K per-row TextIOWrapper.write calls cost
+                # ~0.3s
+                import itertools
+
+                rows = _rows()
+                while True:
+                    chunk = list(itertools.islice(rows, 8192))
+                    if not chunk:
+                        break
+                    outfile.write("".join(chunk))
+                if outfile is not sys.stdout:
+                    outfile.close()
 
     if args.plotfile is not None:
         from ..plots import plot_extract_lr_bc

@@ -71,3 +71,57 @@ def test_seqbuffer_take(tmp_path):
     sub = segs.take(np.array(idx))
     assert list(sub) == [py[i] for i in idx]
     assert segs.take(np.array([], dtype=np.int64)) == []
+
+
+def test_native_lr_writer_matches_python_rows(tmp_path):
+    """sctag_write_lr_tsv_gz vs the reference row format (scTagger.py:317-320),
+    covering negative s/e, e==0 (-> slice to end), invalid rows, empty reads,
+    and a multi-part ChainSeqBuffer arena."""
+    import gzip
+
+    from sctagger_tpu.io.fastq import ChainSeqBuffer, SeqBuffer
+    from sctagger_tpu.io.tsv import write_lr_tsv_gz_native
+
+    def make_sb(seqs):
+        buf = np.frombuffer(
+            "".join(seqs).encode("latin-1"), dtype=np.uint8
+        ).copy()
+        offs = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=offs[1:])
+        return SeqBuffer(buf if buf.size else np.zeros(0, np.uint8), offs)
+
+    reads = [
+        "ACGTACGTACGTACGTACGT",  # fwd-ish: s>=0, e>0
+        "TTTTGGGGCCCCAAAA",      # rev-ish: negative s, e==0 -> to end
+        "",                      # empty read, invalid
+        "AACCGGTT",              # invalid row
+        "ACGT" * 30,             # negative s and negative e
+        "GG",                    # s clamped past length
+    ]
+    chain = ChainSeqBuffer([make_sb(reads[:2]), make_sb(reads[2:])])
+    rnames = [f"read{i}" for i in range(len(reads))]
+    dist = np.array([2, 0, -1, -1, 3, 1], np.int64)
+    s = np.array([3, -10, -1, -1, -25, 5], np.int64)
+    e = np.array([15, 0, -1, -1, -5, 99], np.int64)
+    valid = np.array([1, 1, 0, 0, 1, 1], bool)
+    loc = np.where(valid, np.where(s >= 0, s, e), 0).astype(np.int64)
+
+    def py_rows():
+        out = []
+        for i in range(len(reads)):
+            if valid[i]:
+                seg = reads[i][int(s[i]) : int(e[i]) or None]
+                out.append(f"{rnames[i]}\t{dist[i]}\t{loc[i]}\t{seg}\n")
+            else:
+                out.append(f"{rnames[i]}\t-1\tNA\t\n")
+        return "".join(out)
+
+    p = tmp_path / "out.tsv.gz"
+    assert write_lr_tsv_gz_native(
+        str(p), rnames, chain, dist, loc, s, e, valid
+    )
+    assert gzip.decompress(p.read_bytes()).decode() == py_rows()
+    # list[str] seqs (no row_ptrs): native path declines
+    assert not write_lr_tsv_gz_native(
+        str(p), rnames, reads, dist, loc, s, e, valid
+    )
