@@ -91,6 +91,86 @@ def write_lr_tsv_gz_native(path, rnames, seqs, dist, loc, s, e, valid) -> bool:
     return True
 
 
+def write_match_tsv_native(path, names, segs, barcodes, result) -> bool:
+    """match_trie TSV via the native formatter/writer (one C pass).
+
+    Mirrors stages.match_trie._render_rows (reference scTagger.py:777-790):
+    matched rows only, ascending rid, ties joined by ',' with pattern id
+    p = 2*bid + fwd printing rev_compl(bc) for even p. gzip iff the path ends
+    with 'gz' (match_trie convention). Returns False when unavailable
+    (list[str] segments, non-latin-1 names, lib load failure).
+    """
+    import ctypes
+
+    import numpy as np
+
+    from ..core.packing import _REV_COMPL_BYTES
+
+    buf = getattr(segs, "buf", None)
+    offs = getattr(segs, "offs", None)
+    if buf is None or offs is None:
+        return False
+    try:
+        from ..native import build as native_build
+
+        lib = native_build.load()
+    except Exception:
+        return False
+    rids = np.ascontiguousarray(result.rids, np.int64)
+    m = rids.size
+    try:
+        blob = (
+            ("\n".join([names[r] for r in rids.tolist()]) + "\n").encode(
+                "latin-1"
+            )
+            if m
+            else b""
+        )
+    except UnicodeEncodeError:
+        return False
+
+    # pattern-id-indexed print blob: row p=2*bid is the revcomp, p=2*bid+1
+    # the forward barcode (matcher pattern order, models/matcher.py:85-92)
+    bl = len(barcodes[0]) if barcodes else 0
+    fwd = np.frombuffer(
+        "".join(barcodes).encode("latin-1"), dtype=np.uint8
+    ).reshape(len(barcodes), bl) if barcodes else np.zeros((0, 0), np.uint8)
+    bc2 = np.zeros((2 * len(barcodes), bl), np.uint8)
+    bc2[1::2] = fwd
+    bc2[0::2] = _REV_COMPL_BYTES[fwd][:, ::-1]
+    bc_blob = bc2.tobytes()
+
+    # flatten tie lists (slots + rare overflow rows) into offs/flat arrays
+    cnt = np.ascontiguousarray(result.tie_counts, np.int64)
+    K = result.tie_slots.shape[1]
+    tie_offs = np.zeros(m + 1, np.int64)
+    np.cumsum(cnt, out=tie_offs[1:])
+    flat = np.zeros(int(tie_offs[-1]), np.int64)
+    in_slot = np.minimum(cnt, K)
+    mask = np.arange(K)[None, :] < in_slot[:, None]
+    pos = (tie_offs[:-1, None] + np.arange(K)[None, :])[mask]
+    flat[pos] = result.tie_slots[mask]
+    for i in np.flatnonzero(cnt > K):
+        flat[tie_offs[i] : tie_offs[i + 1]] = result.overflow[int(rids[i])]
+
+    dist64 = np.ascontiguousarray(result.dists, np.int64)
+    offs64 = np.ascontiguousarray(offs, np.int64)
+    err = ctypes.c_char_p()
+    rc = lib.sctag_write_match_tsv(
+        path.encode(), int(path.endswith("gz")), 4,
+        blob, len(blob),
+        buf.ctypes.data, offs64.ctypes.data,
+        rids.ctypes.data, m, dist64.ctypes.data,
+        tie_offs.ctypes.data, flat.ctypes.data,
+        bc_blob, bl, ctypes.byref(err),
+    )
+    if rc != 0:
+        msg = err.value.decode() if err.value else "unknown error"
+        lib.sctag_free(err)
+        raise OSError(f"{path}: {msg}")
+    return True
+
+
 def read_lr_segments_tsv(path: str):
     """Stage-1 output -> (names, dists, locs, segments) parallel columns.
 

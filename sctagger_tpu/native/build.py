@@ -182,6 +182,24 @@ def load():
         ctypes.c_int,                       # gzip level
         ctypes.POINTER(ctypes.c_char_p),    # error
     ]
+    lib.sctag_write_match_tsv.restype = ctypes.c_int
+    lib.sctag_write_match_tsv.argtypes = [
+        ctypes.c_char_p,                    # path
+        ctypes.c_int,                       # gz (0/1)
+        ctypes.c_int,                       # level
+        ctypes.c_char_p,                    # names blob (matched rows)
+        ctypes.c_int64,                     # names_len
+        ctypes.c_void_p,                    # seg_buf (full arena)
+        ctypes.c_void_p,                    # seg_offs (int64*, absolute)
+        ctypes.c_void_p,                    # rids (int64*)
+        ctypes.c_int64,                     # m matched rows
+        ctypes.c_void_p,                    # dists (int64*)
+        ctypes.c_void_p,                    # tie_offs (int64*, m+1)
+        ctypes.c_void_p,                    # ties_flat (int64*)
+        ctypes.c_char_p,                    # bc_blob (2N x bl)
+        ctypes.c_int64,                     # bl
+        ctypes.POINTER(ctypes.c_char_p),    # error
+    ]
     lib.sctag_file_size.restype = ctypes.c_int64
     lib.sctag_file_size.argtypes = [ctypes.c_char_p]
     lib.sctag_free.restype = None

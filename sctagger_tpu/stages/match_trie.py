@@ -83,10 +83,10 @@ def _run(args, stats) -> None:
             {"mr": args.max_error, "bl": args.barcode_length},
         ),
     )
-    outfile = open_out(args.outfile, force_gzip=False)
     n_matched = 0
     with stats.timer("match"):
         if store.enabled:
+            outfile = open_out(args.outfile, force_gzip=False)
             batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
             for bi, (s, e) in enumerate(batch_iter(len(segs), batch)):
                 if store.has(bi, "tsv"):
@@ -106,6 +106,8 @@ def _run(args, stats) -> None:
                     stats.count("batches_computed")
                 n_matched += text.count("\n")  # exact also for cached parts
                 outfile.write(text)
+            if outfile is not sys.stdout:
+                outfile.close()
         else:
             result = match_segments(
                 segments=segs,
@@ -114,10 +116,19 @@ def _run(args, stats) -> None:
                 progress=True,
             )
             n_matched = int(result.rids.size)
-            outfile.write(_render_rows(result, names, segs, barcodes))
+            wrote = False
+            if args.outfile is not None:
+                from ..io.tsv import write_match_tsv_native
+
+                wrote = write_match_tsv_native(
+                    args.outfile, names, segs, barcodes, result
+                )
+            if not wrote:
+                outfile = open_out(args.outfile, force_gzip=False)
+                outfile.write(_render_rows(result, names, segs, barcodes))
+                if outfile is not sys.stdout:
+                    outfile.close()
     stats.count("matched", n_matched)
-    if outfile is not sys.stdout:
-        outfile.close()
 
 
 def _run_multi(args, stats, barcodes, n_hosts: int) -> None:

@@ -125,3 +125,54 @@ def test_native_lr_writer_matches_python_rows(tmp_path):
     assert not write_lr_tsv_gz_native(
         str(p), rnames, reads, dist, loc, s, e, valid
     )
+
+
+def test_native_match_writer_matches_render_rows(tmp_path):
+    """sctag_write_match_tsv vs stages.match_trie._render_rows on a synthetic
+    MatchResult with slot ties, an overflow tie set (> K slots), rc/fwd
+    pattern printing, and both gz and plain outputs."""
+    import gzip
+
+    from sctagger_tpu.io.fastq import SeqBuffer
+    from sctagger_tpu.io.tsv import write_match_tsv_native
+    from sctagger_tpu.models.matcher import MatchResult
+    from sctagger_tpu.stages.match_trie import _render_rows
+
+    rng = np.random.default_rng(8)
+    barcodes = [
+        "".join(rng.choice(list("ACGT"), 16)) for _ in range(30)
+    ]
+    segs_list = ["ACGTACGTACGTACGTACGTACGT", "", "TTTTCCCCGGGGAAAA", "ACG"]
+    buf = np.frombuffer(
+        "".join(segs_list).encode(), dtype=np.uint8
+    ).copy()
+    offs = np.zeros(len(segs_list) + 1, np.int64)
+    np.cumsum([len(s) for s in segs_list], out=offs[1:])
+    segs = SeqBuffer(buf, offs)
+    names = [f"lr{i}" for i in range(len(segs_list))]
+
+    K = 16
+    rids = np.array([0, 2, 3], np.int64)
+    dists = np.array([0, 2, 1], np.int32)
+    tie_counts = np.array([2, 20, 1], np.int64)  # row 1 overflows K slots
+    tie_slots = np.zeros((3, K), np.int64)
+    tie_slots[0, :2] = [5, 8]  # rc bid 2, fwd bid 4
+    over = np.sort(rng.choice(60, 20, replace=False)).astype(np.int64)
+    tie_slots[1] = over[:K]
+    tie_slots[2, :1] = [59]
+    result = MatchResult(
+        rids=rids, dists=dists, tie_counts=tie_counts,
+        tie_slots=tie_slots, overflow={2: over},
+    )
+    want = _render_rows(result, names, segs, barcodes)
+
+    p = tmp_path / "m.tsv.gz"
+    assert write_match_tsv_native(str(p), names, segs, barcodes, result)
+    assert gzip.decompress(p.read_bytes()).decode() == want
+    q = tmp_path / "m.tsv"
+    assert write_match_tsv_native(str(q), names, segs, barcodes, result)
+    assert q.read_text() == want
+    # list[str] segments: native path declines
+    assert not write_match_tsv_native(
+        str(q), names, segs_list, barcodes, result
+    )
