@@ -408,19 +408,37 @@ def scan_adapters_stream(
                     junk=junk,
                 )
 
-    def _dispatch(L: int, sub: np.ndarray) -> None:
-        chunk = _chunk_for(L) * n_mesh
+    # three-stage pipeline: parse (producer thread) | encode (this worker,
+    # native table-encode releases the GIL) | dispatch+collect (consumer) —
+    # the device upload (tunnel/PCIe-bound) no longer serializes the encode
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    enc_pool = ThreadPoolExecutor(1)
+    enc_q: deque = deque()
+    ENC_DEPTH = 4  # bounds packed chunks held (~16 MB each at 64M chars)
+
+    def _encode_job(L: int, sub: np.ndarray):
         with prof_timer("scan.encode"):
-            pk, sub_lens, junk = chain.encode_packed(
-                sub, pad_to=pad_len(L), table=STRICT_TABLE
-            )
-        with prof_timer("scan.dispatch"):
-            dev = adapter_scan_dispatch_packed(
-                pk, sub_lens, peq2_np, m, pad_len(L),
-                b_pad=chunk, interpret=not on_tpu, mesh=mesh,
-            )
-        pending.append((dev, sub, sub.size, junk))
-        _drain(MAX_INFLIGHT)
+            return chain.encode_packed(sub, pad_to=pad_len(L), table=STRICT_TABLE)
+
+    def _pump(block: bool) -> None:
+        while enc_q and (block or enc_q[0][0].done()
+                         or len(enc_q) >= ENC_DEPTH):
+            fut, L, sub = enc_q.popleft()
+            pk, sub_lens, junk = fut.result()
+            chunk = _chunk_for(L) * n_mesh
+            with prof_timer("scan.dispatch"):
+                dev = adapter_scan_dispatch_packed(
+                    pk, sub_lens, peq2_np, m, pad_len(L),
+                    b_pad=chunk, interpret=not on_tpu, mesh=mesh,
+                )
+            pending.append((dev, sub, sub.size, junk))
+            _drain(MAX_INFLIGHT)
+
+    def _dispatch(L: int, sub: np.ndarray) -> None:
+        enc_q.append((enc_pool.submit(_encode_job, L, sub), L, sub))
+        _pump(block=False)
 
     for names, sb in batches:
         rnames.extend(names)
@@ -472,6 +490,8 @@ def scan_adapters_stream(
     for L in sorted(pend_idx):  # flush carried slivers (same b_pad shapes)
         if pend_n.get(L, 0):
             _dispatch(L, np.concatenate(pend_idx[L]))
+    _pump(block=True)
+    enc_pool.shutdown()
     _drain(0)
 
     n = len(chain)
