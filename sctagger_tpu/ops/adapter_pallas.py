@@ -54,7 +54,17 @@ from ..utils import cdiv, full_fast, round_up
 from .myers import high_bit
 
 SLOTS_K = 4
-N_OUT = 16  # rows [d, cnt, s0..s3] x 2 patterns = 12, padded to 16
+N_OUT = 16  # wide rows [d, cnt, s0..s3] x 2 patterns = 12, padded to 16
+
+
+def n_out_for(l_total: int) -> int:
+    """Output rows per read block. Positions < 65536 pack two 16-bit fields
+    per int32 row ([d|cnt<<16, s0|s1<<16, s2|s3<<16] x 2 patterns = 6, padded
+    to 8) — halving the device->host result fetch, which is a first-order
+    cost on the axon tunnel (~64 MB/1M reads unpacked). Ultra-long buckets
+    (> 64K chars) keep the wide 16-row layout; unpack_scan_out dispatches on
+    the row count."""
+    return 8 if l_total <= 0xFFFF else 16
 CHUNK_L = 512
 GROUPS = 8  # read-groups interleaved on the state sublanes
 # lanes per block; tunable for register-pressure experiments (the DP carry is
@@ -96,6 +106,7 @@ def _kernel(
     m: int,
     cl: int,
     n_lchunks: int,
+    packed_out: bool,
 ):
     l = pl.program_id(1)
     bl = len_ref.shape[1]
@@ -210,16 +221,30 @@ def _kernel(
 
     @pl.when(l == n_lchunks - 1)
     def _():
-        # pattern p's state rows -> output rows [base..base+5]; each write is
-        # a whole (GROUPS, BL) state array (no sublane extraction)
-        for p, base in ((0, 0), (1, 6)):
-            o = p * _NST
-            out_ref[base + 0] = st_ref[o + 3]
-            out_ref[base + 1] = st_ref[o + 4]
-            for k in range(SLOTS_K):
-                out_ref[base + 2 + k] = st_ref[o + 5 + k]
-        for r in range(12, N_OUT):
-            out_ref[r] = jnp.zeros((GROUPS, bl), jnp.int32)
+        if packed_out:
+            # 16-bit field packing (see n_out_for): d <= m < 2^15 exact; cnt
+            # clipped at 255 (the host only distinguishes <= SLOTS_K vs
+            # overflow); slots < l_total <= 0xffff exact (s1/s3 << 16 may set
+            # the sign bit — the host unpack shifts+masks, bit-exact)
+            for p, base in ((0, 0), (1, 3)):
+                o = p * _NST
+                cnt = jnp.minimum(st_ref[o + 4], 255)
+                out_ref[base + 0] = st_ref[o + 3] | (cnt << 16)
+                out_ref[base + 1] = st_ref[o + 5] | (st_ref[o + 6] << 16)
+                out_ref[base + 2] = st_ref[o + 7] | (st_ref[o + 8] << 16)
+            for r in range(6, 8):
+                out_ref[r] = jnp.zeros((GROUPS, bl), jnp.int32)
+        else:
+            # wide layout: pattern p's state rows -> output rows
+            # [base..base+5]; each write is a whole (GROUPS, BL) state array
+            for p, base in ((0, 0), (1, 6)):
+                o = p * _NST
+                out_ref[base + 0] = st_ref[o + 3]
+                out_ref[base + 1] = st_ref[o + 4]
+                for k in range(SLOTS_K):
+                    out_ref[base + 2 + k] = st_ref[o + 5 + k]
+            for r in range(12, N_OUT):
+                out_ref[r] = jnp.zeros((GROUPS, bl), jnp.int32)
 
 
 @functools.partial(
@@ -234,7 +259,11 @@ def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
     cl = min(CHUNK_L, l_total)
     assert cl % 4 == 0, cl  # the DP loop unrolls one packed word (4 chars)
     n_lchunks = cdiv(l_total, cl)
-    kernel = functools.partial(_kernel, m=m, cl=cl, n_lchunks=n_lchunks)
+    n_out = n_out_for(l_total)
+    assert SLOTS_K == 4 or n_out == 16, SLOTS_K  # packed rows pair 4 slots
+    kernel = functools.partial(
+        _kernel, m=m, cl=cl, n_lchunks=n_lchunks, packed_out=n_out == 8
+    )
     return pl.pallas_call(
         kernel,
         grid=(BL_total // BLOCK_LANES, n_lchunks),
@@ -250,10 +279,10 @@ def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
             pl.BlockSpec((16, 8), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (N_OUT, GROUPS, BLOCK_LANES), lambda i, l: (0, 0, i),
+            (n_out, GROUPS, BLOCK_LANES), lambda i, l: (0, 0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((N_OUT, GROUPS, BL_total), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_out, GROUPS, BL_total), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2 * _NST, GROUPS, BLOCK_LANES), jnp.int32),
             pltpu.VMEM((cl // 4 * 8, BLOCK_LANES), jnp.int32),
@@ -396,13 +425,28 @@ def adapter_scan_dispatch_packed(
 
 
 def unpack_scan_out(out: np.ndarray, B: int):
-    """(N_OUT, GROUPS, n_blk*BL) kernel output -> (fwd, rc) dicts in read
-    order (read r = (blk, g, lane))."""
+    """(n_out, GROUPS, n_blk*BL) kernel output -> (fwd, rc) dicts in read
+    order (read r = (blk, g, lane)); dispatches on the row count between the
+    wide (16-row) and 16-bit-packed (8-row, see n_out_for) layouts."""
     n, g, c = out.shape
     nblk = c // BLOCK_LANES
     out = out.reshape(n, g, nblk, BLOCK_LANES).transpose(0, 2, 1, 3).reshape(
         n, -1
     )[:, :B]
+
+    if n == 8:  # packed: [d|cnt<<16, s0|s1<<16, s2|s3<<16] x 2 patterns
+        def unpack(base):
+            lo = out[base : base + 3] & 0xFFFF
+            hi = (out[base : base + 3] >> 16) & 0xFFFF
+            return {
+                "d": lo[0],
+                "cnt": hi[0],
+                "slots": np.stack(
+                    [lo[1], hi[1], lo[2], hi[2]], axis=1
+                ),
+            }
+
+        return unpack(0), unpack(3)
 
     def unpack(base):
         return {

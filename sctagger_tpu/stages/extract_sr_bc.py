@@ -39,10 +39,18 @@ DEF_BATCH_BYTES = 512 << 20
 
 
 def run(args) -> None:
+    from ..observability import stage_scope
+
+    with stage_scope("extract_sr_bc") as stats:
+        _run(args, stats)
+
+
+def _run(args, stats) -> None:
     print(f"\n====\nExtracting SR barcodes from {args.input}:")  # stdout, as the reference (scTagger.py:434)
     n_hosts = getattr(args, "n_hosts", 1) or 1
     if n_hosts > 1:
-        merged = _extract_multi(args, n_hosts)
+        with stats.timer("bam_scan"):
+            merged = _extract_multi(args, n_hosts)
         if merged is None:
             return  # non-zero hosts: host 0 writes the single output file
         top, total = merged
@@ -54,17 +62,26 @@ def run(args) -> None:
             "extract_sr_bc", job_key("extract_sr_bc", [args.input], {"v": 1})
         )
         if store.enabled:
-            top, total = _extract_checkpointed(args, store)
+            with stats.timer("bam_scan"):
+                top, total = _extract_checkpointed(args, store)
             top = top[: args.max_barcode_cnt]
         else:
-            barcodes, counts, total = extract_cb_counts(args.input)
+            with stats.timer("bam_scan"):
+                barcodes, counts, total = extract_cb_counts(args.input)
 
             print("\n=====\nCounting and sorting barcodes")
-            order = np.argsort(-counts, kind="stable")[: args.max_barcode_cnt]
-            top = [(barcodes[i], int(counts[i])) for i in order]
+            with stats.timer("rank"):
+                order = np.argsort(-counts, kind="stable")[
+                    : args.max_barcode_cnt
+                ]
+                top = [(barcodes[i], int(counts[i])) for i in order]
 
-    hist = barcode_hist(top, total=total, step_size=args.step_size)
-    last_idx = elbow_cutoff(hist, n_barcodes=len(top), thresh=args.thresh)
+    stats.count("alignments_kept", int(total))
+    stats.count("unique_barcodes", len(top))
+    with stats.timer("cutoff"):
+        hist = barcode_hist(top, total=total, step_size=args.step_size)
+        last_idx = elbow_cutoff(hist, n_barcodes=len(top), thresh=args.thresh)
+    stats.count("whitelist", int(last_idx))
 
     if args.plotfile is not None:
         from ..plots import plot_sr_bc_coverage
@@ -77,11 +94,12 @@ def run(args) -> None:
         )
 
     print(f"\n=====\nWriting the top {last_idx} barcodes")
-    outfile = open_out(args.outfile, force_gzip=True)
-    for b, c in top[:last_idx]:
-        outfile.write(f"{b}\t{c}\n")
-    if outfile is not sys.stdout:
-        outfile.close()
+    with stats.timer("write"):
+        outfile = open_out(args.outfile, force_gzip=True)
+        for b, c in top[:last_idx]:
+            outfile.write(f"{b}\t{c}\n")
+        if outfile is not sys.stdout:
+            outfile.close()
 
 
 def _bam_threads() -> int:

@@ -22,6 +22,13 @@ from ..ops.topk_count import count_and_rank_host
 
 
 def run(args) -> None:
+    from ..observability import stage_scope
+
+    with stage_scope("extract_sr_bc_from_lr") as stats:
+        _run(args, stats)
+
+
+def _run(args, stats) -> None:
     from ..runtime import warm_backend_async
 
     warm_backend_async()  # overlap the axon handshake with input ingest
@@ -32,31 +39,34 @@ def run(args) -> None:
     print(f"Reading whiltelist barcodes from: {args.barcode_whitelist}")
     barcodes = [l[:-1] for l in infile]
     infile.close()
+    stats.count("whitelist", len(barcodes))
 
     barcodes_rc = [rev_compl(b) for b in barcodes]
 
     print(f"\n=====\nMatching exact barcodes on long-reads: {args.input}")
-    if multi:
-        from ..io.sharding import read_tsv_shard
+    with stats.timer("read_lr_tsv"):
+        if multi:
+            from ..io.sharding import read_tsv_shard
 
-        _, lines = read_tsv_shard(args.input, args.host_id, n_hosts)
-        segments: list[str] = []
-        for l in lines:
-            # Tolerant parse (index, not unpack) to match the shared native
-            # reader used single-host: rows with >4 tab fields behave the same
-            # at any host count (documented divergence from the reference's
-            # strict unpack, ROADMAP.md).
-            c = l.split("\t")
-            if c[2] == "NA":
-                continue
-            segments.append(c[3])
-    else:
-        from ..io.tsv import read_lr_segments_tsv
+            _, lines = read_tsv_shard(args.input, args.host_id, n_hosts)
+            segments: list[str] = []
+            for l in lines:
+                # Tolerant parse (index, not unpack) to match the shared
+                # native reader used single-host: rows with >4 tab fields
+                # behave the same at any host count (documented divergence
+                # from the reference's strict unpack, ROADMAP.md).
+                c = l.split("\t")
+                if c[2] == "NA":
+                    continue
+                segments.append(c[3])
+        else:
+            from ..io.tsv import read_lr_segments_tsv
 
-        _, _, locs, segs = read_lr_segments_tsv(args.input)
-        keep = [i for i, p in enumerate(locs) if p != "NA"]
-        take = getattr(segs, "take", None)
-        segments = take(keep) if take else [segs[i] for i in keep]
+            _, _, locs, segs = read_lr_segments_tsv(args.input)
+            keep = [i for i, p in enumerate(locs) if p != "NA"]
+            take = getattr(segs, "take", None)
+            segments = take(keep) if take else [segs[i] for i in keep]
+    stats.count("segments", len(segments))
 
     try:
         sorted_keys, values = build_key_table(barcodes, barcodes_rc)
@@ -71,9 +81,13 @@ def run(args) -> None:
         def _probe(batch):
             return host_dict_fallback(batch, barcodes, barcodes_rc)
 
-    counts_per_seg, single_val = _scan_with_checkpoint(args, segments, _probe)
+    with stats.timer("probe"):
+        counts_per_seg, single_val = _scan_with_checkpoint(
+            args, segments, _probe
+        )
 
     matched = counts_per_seg == 1
+    stats.count("matched_segments", int(matched.sum()))
     vals = np.abs(single_val[matched]).astype(np.uint32)
     if multi:
         keys_ranked, counts_ranked = _rank_multi(args, barcodes, vals, n_hosts)
@@ -93,11 +107,13 @@ def run(args) -> None:
     sorted_bc = chunked_cutoff(sorted_bc, args.step_size, args.thresh)
 
     print(f"\n=====\nWriting the top {len(sorted_bc)} barcodes")
-    outfile = open_out(args.outfile, force_gzip=True)
-    for bc, c in sorted_bc:
-        outfile.write(f"{barcodes[bc]}\t{c}\n")
-    if outfile is not sys.stdout:
-        outfile.close()
+    stats.count("written", len(sorted_bc))
+    with stats.timer("write"):
+        outfile = open_out(args.outfile, force_gzip=True)
+        for bc, c in sorted_bc:
+            outfile.write(f"{barcodes[bc]}\t{c}\n")
+        if outfile is not sys.stdout:
+            outfile.close()
 
 
 def _scan_with_checkpoint(args, segments, probe_fn):

@@ -88,3 +88,43 @@ def test_adapter_kernel_multi_chunk_state():
         np.testing.assert_array_equal(
             fwd["slots"][b][: min(SLOTS_K, len(ends))], ends[: SLOTS_K]
         )
+
+
+def test_unpack_packed_rows_sign_bit():
+    """16-bit packed output rows: slots >= 32768 set the int32 sign bit via
+    s<<16; the unpack must recover them exactly (n_out_for packs whenever
+    l_total <= 0xffff, so positions up to 65535 are representable)."""
+    from sctagger_tpu.ops.adapter_pallas import (
+        BLOCK_LANES, GROUPS, n_out_for, unpack_scan_out,
+    )
+
+    assert n_out_for(65535) == 8 and n_out_for(65536) == 16
+    rng = np.random.default_rng(3)
+    B = GROUPS * BLOCK_LANES  # one block
+    d = rng.integers(0, 23, B).astype(np.int32)
+    cnt = rng.integers(0, 255, B).astype(np.int32)
+    slots = rng.integers(0, 65536, (B, 4)).astype(np.int32)
+    d2 = rng.integers(0, 23, B).astype(np.int32)
+    cnt2 = rng.integers(0, 255, B).astype(np.int32)
+    slots2 = rng.integers(0, 65536, (B, 4)).astype(np.int32)
+
+    def pack(dd, cc, ss):
+        return [
+            dd | (cc << 16),
+            ss[:, 0] | (ss[:, 1] << 16),
+            ss[:, 2] | (ss[:, 3] << 16),
+        ]
+
+    rows = np.stack(
+        pack(d, cnt, slots) + pack(d2, cnt2, slots2)
+        + [np.zeros(B, np.int32)] * 2
+    )
+    # read-order -> kernel layout (read r = (blk, g, lane); one block here)
+    out = rows.reshape(8, GROUPS, BLOCK_LANES)
+    fwd, rc = unpack_scan_out(out, B)
+    np.testing.assert_array_equal(fwd["d"], d)
+    np.testing.assert_array_equal(fwd["cnt"], cnt)
+    np.testing.assert_array_equal(fwd["slots"], slots)
+    np.testing.assert_array_equal(rc["d"], d2)
+    np.testing.assert_array_equal(rc["cnt"], cnt2)
+    np.testing.assert_array_equal(rc["slots"], slots2)
