@@ -103,11 +103,17 @@ def _run_stream(args, stats):
     q: queue.Queue = queue.Queue(maxsize=2)
 
     def _produce():
+        # time the parse itself, not the q.put backpressure wait (the queue
+        # fills whenever the consumer is the bottleneck; counting that wait
+        # made read_fastq look like 13s of a 3s parse in the sustained bench)
         try:
-            with prof_timer("stage.read_fastq"):
-                for b in read_fastqs_stream(args.reads, args.gzipped):
-                    q.put(b)
-            q.put(None)
+            it = read_fastqs_stream(args.reads, args.gzipped)
+            while True:
+                with prof_timer("stage.read_fastq"):
+                    b = next(it, None)
+                q.put(b)
+                if b is None:
+                    return
         except BaseException as ex:  # surfaced by _stream_batches
             q.put(ex)
 
