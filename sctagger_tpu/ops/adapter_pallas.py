@@ -63,8 +63,10 @@ def n_out_for(l_total: int) -> int:
     to 8) — halving the device->host result fetch, which is a first-order
     cost on the axon tunnel (~64 MB/1M reads unpacked). Ultra-long buckets
     (> 64K chars) keep the wide 16-row layout; unpack_scan_out dispatches on
-    the row count."""
-    return 8 if l_total <= 0xFFFF else 16
+    the row count. SCTAG_PACK_LIMIT lowers the threshold so tests can
+    exercise the wide layout on short reads."""
+    limit = int(os.environ.get("SCTAG_PACK_LIMIT", 0xFFFF))
+    return 8 if l_total <= limit else 16
 CHUNK_L = 512
 GROUPS = 8  # read-groups interleaved on the state sublanes
 # lanes per block; tunable for register-pressure experiments (the DP carry is
@@ -248,18 +250,20 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "l_total", "interpret")
+    jax.jit, static_argnames=("m", "l_total", "interpret", "n_out")
 )
 def _adapter_scan_call(text, lens, peq_in, m: int, l_total: int,
-                       interpret: bool = False):
+                       interpret: bool = False, n_out: int | None = None):
     """text: (l_total/4 * 8, B/8) int8 group-interleaved 2-bit packed rows;
     lens: (GROUPS, B/8) int32; peq_in: (8, 8) int32
-    -> (N_OUT, GROUPS, B/8) int32."""
+    -> (n_out, GROUPS, B/8) int32 (n_out explicit so the layout choice is
+    part of the jit cache key — n_out_for reads an env knob)."""
     BL_total = text.shape[1]  # = B / GROUPS lanes
     cl = min(CHUNK_L, l_total)
     assert cl % 4 == 0, cl  # the DP loop unrolls one packed word (4 chars)
     n_lchunks = cdiv(l_total, cl)
-    n_out = n_out_for(l_total)
+    if n_out is None:
+        n_out = n_out_for(l_total)
     assert SLOTS_K == 4 or n_out == 16, SLOTS_K  # packed rows pair 4 slots
     kernel = functools.partial(
         _kernel, m=m, cl=cl, n_lchunks=n_lchunks, packed_out=n_out == 8
@@ -412,7 +416,7 @@ def adapter_scan_dispatch_packed(
 
         return shard_adapter_scan(
             mesh, jnp.asarray(text), jnp.asarray(lens), jnp.asarray(peq_in),
-            m, l_total, interpret=interpret,
+            m, l_total, interpret=interpret, n_out=n_out_for(l_total),
         )
     return _adapter_scan_call(
         jnp.asarray(text),
@@ -421,6 +425,7 @@ def adapter_scan_dispatch_packed(
         m,
         l_total,
         interpret=interpret,
+        n_out=n_out_for(l_total),
     )
 
 

@@ -200,9 +200,10 @@ dist_match_min = shard_match_min
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "m", "l_total", "interpret")
+    jax.jit, static_argnames=("mesh", "m", "l_total", "interpret", "n_out")
 )
-def _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total, interpret):
+def _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total, interpret,
+                          n_out):
     from ..ops.adapter_pallas import _adapter_scan_call
 
     @functools.partial(
@@ -214,29 +215,32 @@ def _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total, interpret):
     )
     def step(text_local, lens_local, peq_full):
         return _adapter_scan_call(
-            text_local, lens_local, peq_full, m, l_total, interpret=interpret
+            text_local, lens_local, peq_full, m, l_total,
+            interpret=interpret, n_out=n_out,
         )
 
     return step(text, lens, peq_in)
 
 
 def shard_adapter_scan(mesh, text, lens, peq_in, m: int, l_total: int,
-                       interpret: bool = False):
+                       interpret: bool = False, n_out: int | None = None):
     """Production adapter-scan kernel, read blocks sharded over 'data'.
 
     text: (L/4*8, B/8) int8 group-interleaved, lens: (GROUPS, B/8) int32,
     peq_in: (8, 8) int32, with lane columns % (n_data * BLOCK_LANES) == 0
     (each shard keeps whole kernel blocks). Returns the
-    (N_OUT, GROUPS, B/8) device array WITHOUT syncing."""
-    from ..ops.adapter_pallas import BLOCK_LANES
+    (n_out, GROUPS, B/8) device array WITHOUT syncing."""
+    from ..ops.adapter_pallas import BLOCK_LANES, n_out_for
 
     assert mesh.shape["model"] == 1, mesh.shape
     assert text.shape[1] % (mesh.shape["data"] * BLOCK_LANES) == 0, (
         text.shape, mesh.shape
     )
     _count(mesh)
+    if n_out is None:
+        n_out = n_out_for(l_total)
     return _adapter_scan_sharded(text, lens, peq_in, mesh, m, l_total,
-                                 interpret)
+                                 interpret, n_out)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "m"))

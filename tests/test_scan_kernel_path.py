@@ -78,3 +78,30 @@ def test_kernel_path_equals_mask_path():
     assert hasattr(sb, "encode_packed")
     got_native = scan_adapters(sb, ADAPTER, force_kernel=True)
     assert _flatten(got_native) == _flatten(ref)
+
+
+def test_kernel_wide_output_layout(monkeypatch):
+    """SCTAG_PACK_LIMIT=1 forces the wide 16-row output layout on short
+    reads (the layout ultra-long >64K-char buckets use in production) —
+    results must be identical to the default packed 8-row layout."""
+    monkeypatch.setenv("SCTAG_PACK_LIMIT", "1")
+    rng = np.random.default_rng(61)
+    seqs = []
+    for i in range(30):
+        n = int(rng.integers(50, 300))
+        t = random_dna(rng, n)
+        if rng.random() < 0.5:
+            pos = int(rng.integers(0, 20))
+            t = t[:pos] + mutate(rng, ADAPTER, int(rng.integers(0, 3))) + t[pos:]
+        else:
+            pos = max(0, n - int(rng.integers(5, 30)))
+            t = (
+                t[:pos]
+                + mutate(rng, rev_compl(ADAPTER), int(rng.integers(0, 3)))
+                + t[pos:]
+            )
+        seqs.append(t)
+    wide = scan_adapters(seqs, ADAPTER, force_kernel=True)
+    monkeypatch.delenv("SCTAG_PACK_LIMIT")
+    packed = scan_adapters(seqs, ADAPTER, force_kernel=True)
+    assert _flatten(wide) == _flatten(packed)
