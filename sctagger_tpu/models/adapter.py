@@ -290,6 +290,22 @@ def scan_adapters(
                 )
     _drain(0)
 
+    return _finalize_scan(
+        seqs, lengths, peq2_np, m, a2, n,
+        strands, dists, loc_rids, loc_vals,
+        rev_tasks_rid, rev_tasks_end, overflow_rids, mesh, progress,
+    )
+
+
+def _finalize_scan(
+    seqs, lengths, peq2_np, m, a2, n,
+    strands, dists, loc_rids, loc_vals,
+    rev_tasks_rid, rev_tasks_end, overflow_rids, mesh, progress,
+) -> AdapterScanResult:
+    """Shared scan tail (one-shot AND streaming paths): exact mask fallback
+    for overflow/junk reads, reverse-SHW start recovery, and flat (rid, loc)
+    assembly. This is the trickiest parity-bearing logic — keep it in ONE
+    place."""
     if overflow_rids:
         # rare multi-site reads: recompute with full masks (jnp path)
         if progress:
@@ -304,7 +320,7 @@ def scan_adapters(
             L = int(round_up(max(lengths[sub].max(), 1), 32))
             codes, _ = encode_rows(seqs, sub, pad_to=L)
             _mask_chunk(
-                codes, lengths[sub], peq2, m, sub,
+                codes, lengths[sub], peq2_np, m, sub,
                 strands, dists, loc_rids, loc_vals,
                 rev_tasks_rid, rev_tasks_end, mesh=mask_mesh,
             )
@@ -440,58 +456,61 @@ def scan_adapters_stream(
         enc_q.append((enc_pool.submit(_encode_job, L, sub), L, sub))
         _pump(block=False)
 
-    for names, sb in batches:
-        rnames.extend(names)
-        off = len(chain)
-        chain.append(sb)
-        if len(sb) == 0:
-            continue
-        n = len(chain)
-        if strands.size < n:  # grow accumulators; _drain sees the rebinding
-            cap = max(n, 2 * strands.size)
-            ns = full_fast(cap, -1, np.int8)
-            ns[: strands.size] = strands
-            strands = ns
-            nd = full_fast(cap, -1, np.int32)
-            nd[: dists.size] = dists
-            dists = nd
-        lens_b = np.asarray(sb.lengths)
-        if not buckets:
-            buckets = list(_read_buckets(lens_b))
-        if int(lens_b.max()) > buckets[-1] and len(buckets) < MAX_BUCKETS:
-            newL = pad_len(int(lens_b.max()))
-            if newL > buckets[-1]:
-                buckets.append(newL)
-                if progress:
-                    print(f"[scan] new length bucket {newL}", file=sys.stderr)
-        barr = np.asarray(buckets, np.int64)
-        bi_of = np.searchsorted(barr, lens_b, side="left")
-        too_long = np.flatnonzero(bi_of >= len(buckets))
-        if too_long.size:  # beyond every bucket: exact mask fallback
-            overflow_rids.extend((off + too_long).tolist())
-        for k, L in enumerate(buckets):
-            sel = np.flatnonzero(bi_of == k)
-            if sel.size == 0:
+    try:
+        for names, sb in batches:
+            rnames.extend(names)
+            off = len(chain)
+            chain.append(sb)
+            if len(sb) == 0:
                 continue
-            if progress:
-                print(
-                    f"[scan] bucket<= {L}: {sel.size} reads", file=sys.stderr
-                )
-            pend_idx.setdefault(L, []).append(off + sel.astype(np.int64))
-            pend_n[L] = pend_n.get(L, 0) + sel.size
-            chunk = _chunk_for(L) * n_mesh
-            while pend_n[L] >= chunk:
-                allidx = np.concatenate(pend_idx[L])
-                _dispatch(L, allidx[:chunk])
-                rest = allidx[chunk:]
-                pend_idx[L] = [rest] if rest.size else []
-                pend_n[L] = int(rest.size)
+            n = len(chain)
+            if strands.size < n:  # grow accumulators; _drain sees the rebinding
+                cap = max(n, 2 * strands.size)
+                ns = full_fast(cap, -1, np.int8)
+                ns[: strands.size] = strands
+                strands = ns
+                nd = full_fast(cap, -1, np.int32)
+                nd[: dists.size] = dists
+                dists = nd
+            lens_b = np.asarray(sb.lengths)
+            if not buckets:
+                buckets = list(_read_buckets(lens_b))
+            if int(lens_b.max()) > buckets[-1] and len(buckets) < MAX_BUCKETS:
+                newL = pad_len(int(lens_b.max()))
+                if newL > buckets[-1]:
+                    buckets.append(newL)
+                    if progress:
+                        print(f"[scan] new length bucket {newL}", file=sys.stderr)
+            barr = np.asarray(buckets, np.int64)
+            bi_of = np.searchsorted(barr, lens_b, side="left")
+            too_long = np.flatnonzero(bi_of >= len(buckets))
+            if too_long.size:  # beyond every bucket: exact mask fallback
+                overflow_rids.extend((off + too_long).tolist())
+            for k, L in enumerate(buckets):
+                sel = np.flatnonzero(bi_of == k)
+                if sel.size == 0:
+                    continue
+                if progress:
+                    print(
+                        f"[scan] bucket<= {L}: {sel.size} reads", file=sys.stderr
+                    )
+                pend_idx.setdefault(L, []).append(off + sel.astype(np.int64))
+                pend_n[L] = pend_n.get(L, 0) + sel.size
+                chunk = _chunk_for(L) * n_mesh
+                while pend_n[L] >= chunk:
+                    allidx = np.concatenate(pend_idx[L])
+                    _dispatch(L, allidx[:chunk])
+                    rest = allidx[chunk:]
+                    pend_idx[L] = [rest] if rest.size else []
+                    pend_n[L] = int(rest.size)
 
-    for L in sorted(pend_idx):  # flush carried slivers (same b_pad shapes)
-        if pend_n.get(L, 0):
-            _dispatch(L, np.concatenate(pend_idx[L]))
-    _pump(block=True)
-    enc_pool.shutdown()
+        for L in sorted(pend_idx):  # flush carried slivers (same b_pad shapes)
+            if pend_n.get(L, 0):
+                _dispatch(L, np.concatenate(pend_idx[L]))
+        _pump(block=True)
+    finally:
+        # idempotent; on exceptions this also drops queued encode jobs
+        enc_pool.shutdown(wait=False, cancel_futures=True)
     _drain(0)
 
     n = len(chain)
@@ -499,40 +518,12 @@ def scan_adapters_stream(
     dists = dists[:n]
     lengths = np.asarray(chain.lengths, np.int64)
 
-    if overflow_rids:
-        if progress:
-            print(
-                f"[scan] mask fallback for {len(overflow_rids)} reads",
-                file=sys.stderr,
-            )
-        ov = np.array(sorted(set(overflow_rids)), dtype=np.int64)
-        mask_mesh = mesh if jax.default_backend() != "tpu" else None
-        for s, e in batch_iter(ov.size, 256):
-            sub = ov[s:e]
-            L = int(round_up(max(lengths[sub].max(), 1), 32))
-            codes, _ = encode_rows(chain, sub, pad_to=L)
-            _mask_chunk(
-                codes, lengths[sub], peq2_np, m, sub,
-                strands, dists, loc_rids, loc_vals,
-                rev_tasks_rid, rev_tasks_end, mesh=mask_mesh,
-            )
-
-    with prof_timer("scan.rev_recovery"):
-        _recover_rev_starts(
-            chain, lengths, a2, m, rev_tasks_rid, rev_tasks_end, dists,
-            loc_rids, loc_vals,
-        )
-
-    if loc_rids:
-        rid_all = np.concatenate(loc_rids)
-        val_all = np.concatenate(loc_vals)
-        order = np.argsort(rid_all, kind="stable")
-        flat = np.ascontiguousarray(val_all[order])
-        loc_counts = np.bincount(rid_all, minlength=n).astype(np.int64)
-    else:
-        flat = np.empty(0, dtype=np.int64)
-        loc_counts = np.zeros(n, dtype=np.int64)
-    return rnames, chain, AdapterScanResult(strands, dists, flat, loc_counts)
+    result = _finalize_scan(
+        chain, lengths, peq2_np, m, a2, n,
+        strands, dists, loc_rids, loc_vals,
+        rev_tasks_rid, rev_tasks_end, overflow_rids, mesh, progress,
+    )
+    return rnames, chain, result
 
 
 def _mask_chunk(

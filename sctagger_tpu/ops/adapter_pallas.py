@@ -65,7 +65,7 @@ def n_out_for(l_total: int) -> int:
     (> 64K chars) keep the wide 16-row layout; unpack_scan_out dispatches on
     the row count. SCTAG_PACK_LIMIT lowers the threshold so tests can
     exercise the wide layout on short reads."""
-    limit = int(os.environ.get("SCTAG_PACK_LIMIT", 0xFFFF))
+    limit = min(int(os.environ.get("SCTAG_PACK_LIMIT", 0xFFFF)), 0xFFFF)
     return 8 if l_total <= limit else 16
 CHUNK_L = 512
 GROUPS = 8  # read-groups interleaved on the state sublanes

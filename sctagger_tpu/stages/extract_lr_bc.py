@@ -101,6 +101,16 @@ def _run_stream(args, stats):
         return None
 
     q: queue.Queue = queue.Queue(maxsize=2)
+    stop = threading.Event()  # consumer died: stop parsing, free the stream
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _produce():
         # time the parse itself, not the q.put backpressure wait (the queue
@@ -108,20 +118,27 @@ def _run_stream(args, stats):
         # made read_fastq look like 13s of a 3s parse in the sustained bench)
         try:
             it = read_fastqs_stream(args.reads, args.gzipped)
-            while True:
-                with prof_timer("stage.read_fastq"):
-                    b = next(it, None)
-                q.put(b)
-                if b is None:
-                    return
+            try:
+                while True:
+                    with prof_timer("stage.read_fastq"):
+                        b = next(it, None)
+                    if not _put(b) or b is None:
+                        return
+            finally:
+                it.close()  # finalize: closes the native stream handle
         except BaseException as ex:  # surfaced by _stream_batches
-            q.put(ex)
+            _put(ex)
 
     threading.Thread(target=_produce, daemon=True).start()
-    with stats.timer("adapter_scan"):
-        rnames, seqs, scan = scan_adapters_stream(
-            _stream_batches(args, q), args.short_read_adapter, progress=True
-        )
+    try:
+        with stats.timer("adapter_scan"):
+            rnames, seqs, scan = scan_adapters_stream(
+                _stream_batches(args, q),
+                args.short_read_adapter,
+                progress=True,
+            )
+    finally:
+        stop.set()  # unblock the producer if we failed mid-stream
     print(
         f"Aligned {args.short_read_adapter} to {len(seqs)} reads",
         file=sys.stderr,
@@ -143,6 +160,9 @@ def _run(args, stats) -> None:
             {"sa": args.short_read_adapter, "z": bool(args.gzipped)},
         ),
     )
+    if not multi and args.outfile is not None:
+        # fail fast on an unwritable output path BEFORE the expensive scan
+        open(args.outfile, "wb").close()
     streamed = None
     if (
         not multi

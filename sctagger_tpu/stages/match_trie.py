@@ -83,6 +83,11 @@ def _run(args, stats) -> None:
             {"mr": args.max_error, "bl": args.barcode_length},
         ),
     )
+    if args.outfile is not None:
+        # fail fast on an unwritable output path BEFORE the expensive match
+        # (the native writer opens only after matching; the pre-r3 Python
+        # writer opened upfront and we keep that contract)
+        open(args.outfile, "wb").close()
     n_matched = 0
     with stats.timer("match"):
         if store.enabled:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -52,10 +53,13 @@ def batch_iter(n: int, batch: int) -> Iterator[tuple[int, int]]:
 # times per phase here; stage drivers fold the deltas into their structured
 # stats (observability.StageStats), surfaced via SCTAG_STATS.
 PROF: dict[str, float] = {}
+_PROF_LOCK = threading.Lock()
 
 
 class prof_timer:
-    """Context manager adding elapsed wall time to PROF[key]."""
+    """Context manager adding elapsed wall time to PROF[key] (thread-safe:
+    the streaming stage-1 pipeline times phases from the parse producer, the
+    encode worker, and the consumer concurrently)."""
 
     def __init__(self, key: str):
         self.key = key
@@ -69,7 +73,7 @@ class prof_timer:
     def __exit__(self, *exc):
         import time
 
-        PROF[self.key] = PROF.get(self.key, 0.0) + (
-            time.perf_counter() - self._t0
-        )
+        dt = time.perf_counter() - self._t0
+        with _PROF_LOCK:
+            PROF[self.key] = PROF.get(self.key, 0.0) + dt
         return False
