@@ -150,7 +150,6 @@ def match_segments(
         peq = build_peq_multi(pat_codes)  # (5, 2N)
     n_pat = pat_codes.shape[0]
     on_tpu = _use_tpu() and not mw  # Pallas kernels are single-word
-    peq_pm = prep_peq_cols(peq, bp=DEF_BP) if on_tpu else None
 
     n = len(segments)
     lengths = seq_lengths(segments)
@@ -181,7 +180,12 @@ def match_segments(
         return codes
 
     from ..ops.match_pallas import TIES_K, match_full_tpu
-    from ..parallel.mesh import local_mesh, shard_match_full, shard_match_min
+    from ..parallel.mesh import (
+        local_mesh,
+        shard_match_full,
+        shard_match_full_mp,
+        shard_match_min,
+    )
 
     chunks: list[tuple[np.ndarray, np.ndarray, int]] = []  # (sub, codes, ls)
     tie_by_chunk: list[np.ndarray | None] = [None] * len(chunk_specs)
@@ -192,10 +196,13 @@ def match_segments(
     # of the reference's prefix-shard Pool (scTagger.py:688-716). One device
     # => the tuned single-device dispatch, bit-identical output either way.
     if on_tpu:
-        # model axis must stay 1 for the fused kernel (tie slots don't
-        # commute across pattern shards)
-        mesh = local_mesh(divisor=PASS1_CHUNK // DEF_BR, model_parallel=1)
-        peq_j = jnp.asarray(peq_pm)
+        # model axis > 1 (SCTAG_MODEL_PARALLEL) routes through the exact
+        # cross-shard tie merge (parallel/mesh.shard_match_full_mp)
+        mesh = local_mesh(divisor=PASS1_CHUNK // DEF_BR)
+        mp = mesh.shape["model"] if mesh is not None else 1
+        # pattern rows must split evenly over the model axis in whole
+        # kernel blocks: pad P to an mp*bp multiple
+        peq_j = jnp.asarray(prep_peq_cols(peq, bp=mp * DEF_BP))
         MAX_INFLIGHT = 32  # bound HBM held by queued chunk inputs/outputs
         pending: list[tuple[int, object]] = []
 
@@ -213,7 +220,11 @@ def match_segments(
             seg_codes = _encode(sub, ls)
             chunks.append((sub, seg_codes, ls))
             seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=PASS1_CHUNK)
-            if mesh is not None:
+            if mesh is not None and mp > 1:
+                dev = shard_match_full_mp(
+                    mesh, jnp.asarray(seg_T), peq_j, bl, br=DEF_BR, bp=DEF_BP
+                )
+            elif mesh is not None:
                 dev = shard_match_full(
                     mesh, jnp.asarray(seg_T), peq_j, bl, br=DEF_BR, bp=DEF_BP
                 )

@@ -9,5 +9,6 @@ from .mesh import (  # noqa: F401
     shard_adapter_scan,
     shard_hw_block,
     shard_match_full,
+    shard_match_full_mp,
     shard_match_min,
 )

@@ -129,17 +129,94 @@ def _match_full_sharded(seg_T, peq_pm, mesh, m, br, bp, w16, interpret):
 
 def shard_match_full(mesh, seg_T, peq_pm, m: int, br: int, bp: int,
                      w16: bool = False, interpret: bool = False):
-    """Production fused min+ties kernel, reads sharded over 'data' (patterns
-    replicated: tie slots are global pattern ids collected against a running
-    min, which does not commute across pattern shards — the model axis must
-    be 1 for this kernel). seg_T: (Ls, R) with R % (n_data * br) == 0.
-    Returns the (TIES_K+2, R) device array WITHOUT syncing."""
+    """Production fused min+ties kernel, reads sharded over 'data' with the
+    patterns replicated (the mp=1 fast path — no collectives beyond the
+    implicit data split). seg_T: (Ls, R) with R % (n_data * br) == 0.
+    Returns the (TIES_K+2, R) device array WITHOUT syncing.
+    For pattern-axis sharding use shard_match_full_mp."""
     assert mesh.shape["model"] == 1, mesh.shape
     assert seg_T.shape[1] % (mesh.shape["data"] * br) == 0, (
         seg_T.shape, mesh.shape, br
     )
     _count(mesh)
     return _match_full_sharded(seg_T, peq_pm, mesh, m, br, bp, w16, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "m", "br", "bp", "w16", "interpret")
+)
+def _match_full_sharded_mp(seg_T, peq_pm, mesh, m, br, bp, w16, interpret):
+    from ..ops.match_pallas import BIG, TIES_K, match_full_tpu
+
+    mp = mesh.shape["model"]
+    p_local = peq_pm.shape[0] // mp
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P("model", None)),
+        out_specs=P(None, "data"),
+        check_vma=False,
+    )
+    def step(seg_local, peq_local):
+        local = match_full_tpu(
+            seg_local, peq_local, m, br=br, bp=bp, w16=w16,
+            interpret=interpret,
+        )
+        # Rebase this shard's tie slots to GLOBAL pattern ids, then merge
+        # exactly across the model axis (see shard_match_full_mp docstring
+        # for the first-K containment argument).
+        off = jax.lax.axis_index("model") * p_local
+        gmin = jax.lax.pmin(local[0:1], "model")
+        valid = local[0:1] == gmin  # this shard's min IS the global min
+        gcnt = jax.lax.psum(jnp.where(valid, local[1:2], 0), "model")
+        slots = jnp.where(valid & (local[2:] < BIG), local[2:] + off, BIG)
+        cand = jax.lax.all_gather(slots, "model").reshape(
+            mp * TIES_K, slots.shape[1]
+        )
+        merged = []
+        for _t in range(TIES_K):
+            mn = jnp.min(cand, axis=0, keepdims=True)  # (1, R_local)
+            merged.append(mn)
+            cand = jnp.where(cand == mn, BIG, cand)
+        return jnp.concatenate([gmin, gcnt, *merged], axis=0)
+
+    return step(seg_T, peq_pm)
+
+
+def shard_match_full_mp(mesh, seg_T, peq_pm, m: int, br: int, bp: int,
+                        w16: bool = False, interpret: bool = False):
+    """Fused min+ties kernel over a 2-D ('data','model') mesh: reads sharded
+    over 'data' AND patterns sharded over 'model' (the TP analog of the
+    reference's prefix-keyspace shards, scTagger.py:688-716, for the fused
+    kernel).
+
+    The per-shard kernel output does not commute naively (tie slots are
+    collected against each shard's RUNNING min), but an exact merge exists:
+      * global min = pmin of shard mins;
+      * a shard's count/slots are valid iff its min equals the global min
+        (its hits are then exactly its at-global-min patterns);
+      * global count = psum of valid counts (pattern id ranges are disjoint);
+      * global first-K slots = the K smallest of the union of valid shards'
+        first-K lists, because any id x in the global first-K that lives in
+        shard s has fewer than K at-min ids below it globally — hence fewer
+        than K below it within s — so x is contained in s's first-K.
+    Output is therefore bit-identical to the single-shard kernel for every
+    row the driver consumes (pattern-axis PADDING hits at min == m can differ
+    in count across pad widths, but min == m > max_error rows are discarded).
+
+    seg_T: (Ls, R) with R % (n_data * br) == 0; peq_pm: (P_pad, 8) with
+    P_pad % (n_model * bp) == 0. Returns (TIES_K+2, R) WITHOUT syncing."""
+    assert seg_T.shape[1] % (mesh.shape["data"] * br) == 0, (
+        seg_T.shape, mesh.shape, br
+    )
+    assert peq_pm.shape[0] % (mesh.shape["model"] * bp) == 0, (
+        peq_pm.shape, mesh.shape, bp
+    )
+    _count(mesh)
+    return _match_full_sharded_mp(
+        seg_T, peq_pm, mesh, m, br, bp, w16, interpret
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "m"))

@@ -19,6 +19,7 @@ from sctagger_tpu.parallel import (
     local_mesh,
     make_mesh,
     shard_match_full,
+    shard_match_full_mp,
     shard_match_min,
 )
 
@@ -90,6 +91,51 @@ def test_shard_match_full_matches_single_device():
         mesh = make_mesh(n, model_parallel=1)
         got = np.asarray(
             shard_match_full(
+                mesh, seg_T, peq_pm, 16, br=br, bp=bp, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, single)
+
+
+def test_shard_match_full_mp_matches_single_device():
+    """Pattern-axis-sharded fused kernel (exact cross-shard tie merge) ==
+    the single-device call, bit-for-bit, at every mesh shape.
+
+    Patterns contain duplicates spread across shards so tie sets span shard
+    boundaries and overflow TIES_K — the cases the merge proof covers."""
+    from sctagger_tpu.ops.match_pallas import (
+        TIES_K,
+        match_full_tpu,
+        prep_peq_cols,
+        prep_segs_T,
+    )
+
+    br, bp = 128, 8
+    rng = np.random.default_rng(7)
+    base = [random_dna(rng, 16) for _ in range(12)]
+    # 64 patterns = 12 uniques cycled: every barcode recurs in >= 5 shard
+    # positions, so at-min tie sets cross every model-axis split
+    barcodes = [base[i % len(base)] for i in range(64)]
+    n_segs = 4 * br - 7
+    segs = [random_dna(rng, 24) for _ in range(n_segs)]
+    for r in range(0, n_segs, 2):  # plant exact hits -> ties > TIES_K
+        segs[r] = segs[r][:4] + barcodes[r % len(barcodes)] + segs[r][4:]
+    seg_codes, _ = encode_seqs(segs, pad_to=48, table=LENIENT_TABLE)
+    peq = build_peq_multi(
+        encode_seqs(barcodes, pad_to=16, table=LENIENT_TABLE)[0]
+    )
+    seg_T = jnp.asarray(prep_segs_T(seg_codes, ls=48, br=br, r_pad=4 * br))
+    peq_pm = jnp.asarray(prep_peq_cols(peq, bp=bp))
+    assert peq_pm.shape[0] == 64  # divides every model axis below
+
+    single = np.asarray(
+        match_full_tpu(seg_T, peq_pm, 16, br=br, bp=bp, interpret=True)
+    )
+    assert (single[1] > TIES_K).any()  # overflow rows are exercised
+    for mp in (2, 4, 8):
+        mesh = make_mesh(8, model_parallel=mp)
+        got = np.asarray(
+            shard_match_full_mp(
                 mesh, seg_T, peq_pm, 16, br=br, bp=bp, interpret=True
             )
         )
