@@ -71,9 +71,12 @@ def main():
         import tpu_parity
 
         sys.exit(tpu_parity.main([a for a in sys.argv[1:] if a != "--verify"]))
-    # default = 2 full device chunks: sliver chunks pad to the fixed kernel
-    # shape, so a non-multiple would measure ~25% padding waste
-    n_segs = int(os.environ.get("SCTAG_BENCH_SEGS", 262_144))
+    # default = sustained scale (8 chunk-multiples): chunk-count quantization
+    # (every device chunk pads to the fixed PASS1_CHUNK kernel shape) and the
+    # exact-prefilter's chunk savings both amortize here, matching the perf
+    # log's 1M sustained rows. A/B at this size 2026-08-20: prefilter on
+    # 99,099 segs/s vs off 65,027 (both recorded in CLAUDE.md).
+    n_segs = int(os.environ.get("SCTAG_BENCH_SEGS", 1_048_576))
     from sctagger_tpu.runtime import configure_jax
 
     configure_jax()

@@ -22,6 +22,11 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
 VARIANTS = ("base", "hb", "dynls")
+# extra opt-in variants (not part of `all`):
+#   minonly — match_min_tpu at the bench shape: the fused kernel minus the
+#   tie machinery. Its speedup over base/hb bounds ANY per-block early-out
+#   win from above (the DP sweep can never be skipped; see
+#   tools/earlyout_study.py). md5 covers the min row only.
 
 
 def run_all():
@@ -54,8 +59,8 @@ def run_one(variant: str):
     from sctagger_tpu.models.matcher import _build_patterns
     from sctagger_tpu.ops.myers import build_peq_multi
     from sctagger_tpu.ops.match_pallas import (
-        DEF_BP, DEF_BR, match_full_dynls_tpu, match_full_tpu, prep_peq_cols,
-        prep_segs_T,
+        DEF_BP, DEF_BR, match_full_dynls_tpu, match_full_tpu, match_min_tpu,
+        prep_peq_cols, prep_segs_T,
     )
 
     n = 131072
@@ -73,6 +78,10 @@ def run_one(variant: str):
 
         def call():
             return np.asarray(match_full_dynls_tpu(seg_d, peq_d, ml, 16))
+    elif variant == "minonly":
+
+        def call():
+            return np.asarray(match_min_tpu(seg_d, peq_d, 16))
     else:
 
         def call():
@@ -94,7 +103,9 @@ def run_one(variant: str):
         "ms_per_chunk": round(dt * 1e3, 1),
         "segs_per_s_kernel": round(n / dt, 1),
         "warm_s": round(warm, 1),
-        "out_md5": hashlib.md5(out[:2].tobytes()).hexdigest(),
+        "out_md5": hashlib.md5(
+            out[:1 if variant == "minonly" else 2].tobytes()
+        ).hexdigest(),
         "n_segs": n, "ls": ls, "n_pat": int(peq_pm.shape[0]),
     }))
 
