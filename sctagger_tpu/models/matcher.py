@@ -64,6 +64,9 @@ class MatchResult:
     row i of ``tie_slots`` holds the first min(tie_counts[i], K) tie pattern
     ids ascending; reads with more ties than K have their full sorted id list
     in ``overflow`` keyed by rid. Pattern id p = 2*bid + (1 if forward).
+    Slot values past tie_counts[i] are unspecified (the kernel and prefilter
+    paths write BIG; the jnp fallback leaves top_k residue) — consume via
+    ``ties_of``/``tie_counts``, never raw slot comparisons.
     """
 
     rids: np.ndarray  # (M,) int64 read ids, ascending
@@ -163,15 +166,17 @@ def match_segments(
     min_dist = full_fast(n, bl, np.int32)
     order = np.argsort(lengths, kind="stable")
 
-    # ---- host exact-match prefilter (ops/exact_prefilter.py) --------------
-    # Reads with a dist-0 hit have their complete tie set determined by
-    # exact substring matches — resolved on the host at ~10x the device match
-    # rate, so only the min>0 remainder occupies device chunks.
+    # ---- host dist<=1 prefilter (ops/exact_prefilter.py) ------------------
+    # Reads whose min distance is 0 (exact window hit) or 1 (single-edit
+    # neighborhood hit) have their complete tie set determined host-side —
+    # resolved at >10x the device match rate via the native bucketed range
+    # search, so only the min>1 remainder occupies device chunks.
     # Output-identical by construction (module docstring);
-    # SCTAG_EXACT_PREFILTER=0 disables. On the TPU path the probe runs
-    # per-slice INSIDE the async dispatch loop (overlapped with device
-    # compute, survivors repacked into full chunks); elsewhere it runs once
-    # up front and shrinks `order` directly.
+    # SCTAG_EXACT_PREFILTER=0 disables everything, SCTAG_PREFILTER_D1=0
+    # drops back to the dist-0-only probe (the r3 behavior, A/B control).
+    # On the TPU path the probe runs per-slice INSIDE the async dispatch
+    # loop (overlapped with device compute, survivors repacked into full
+    # chunks); elsewhere it runs slice-wise up front and shrinks `order`.
     prefilter = (
         os.environ.get("SCTAG_EXACT_PREFILTER", "1") == "1"
         and not mw
@@ -182,12 +187,25 @@ def match_segments(
 
     def _take_exact(sub: np.ndarray, ex) -> np.ndarray | None:
         """Record a probe result (rids local to ``sub``); returns the local
-        keep-mask, or None when nothing hit."""
+        keep-mask, or None when nothing hit. ``ex`` is ExactHits (all dist 0)
+        or D1Hits (per-read dist 0/1); resolved reads leave the device path
+        entirely, and tie sets are recorded for those within max_error."""
         if ex.rids.size == 0:
             return None
         g = sub[ex.rids]
-        min_dist[g] = 0
-        exact_pairs.append((np.repeat(g, np.diff(ex.offsets)), ex.pids))
+        counts = np.diff(ex.offsets)
+        dists = getattr(ex, "dists", None)
+        if dists is None:
+            min_dist[g] = 0
+            gm, cm, pids = g, counts, ex.pids
+        else:
+            min_dist[g] = dists
+            ok = dists <= max_error  # mr=0: dist-1 reads resolve unmatched
+            gm = g[ok]
+            cm = counts[ok]
+            pids = ex.pids[np.repeat(ok, counts)]
+        if gm.size:
+            exact_pairs.append((np.repeat(gm, cm), pids))
         keep = np.ones(sub.size, bool)
         keep[ex.rids] = False
         return keep
@@ -195,19 +213,51 @@ def match_segments(
     if prefilter:
         from ..ops.exact_prefilter import exact_tie_probe
 
+        d1 = os.environ.get("SCTAG_PREFILTER_D1", "1") == "1" and bl <= 31
+        if d1:
+            # the ~2s neighborhood build runs on a worker thread behind the
+            # first (unprobed) device chunk; _probe joins it on first use
+            import threading
+
+            from ..ops.exact_prefilter import NeighborhoodIndex
+
+            nb_box: dict = {}
+
+            def _nb_build() -> None:
+                try:
+                    nb_box["idx"] = NeighborhoodIndex(pat_codes)
+                except BaseException as e:  # propagate into _probe
+                    nb_box["err"] = e
+
+            nb_th = threading.Thread(target=_nb_build, daemon=True)
+            nb_th.start()
+
+        def _probe(codes_s: np.ndarray, lens_s: np.ndarray):
+            if d1:
+                nb_th.join()
+                if "err" in nb_box:
+                    raise nb_box["err"]
+                return nb_box["idx"].probe(codes_s, lens_s)
+            return exact_tie_probe(codes_s, lens_s, pat_codes)
+
     if prefilter and not use_kernel:
-        codes_all, _ = encode_rows(
-            segments, np.arange(n), pad_to=int(lengths.max(initial=0)) or 1,
-            table=LENIENT_TABLE,
-        )
-        keep = _take_exact(np.arange(n, dtype=order.dtype),
-                           exact_tie_probe(codes_all, lengths, pat_codes))
-        if keep is not None:
-            order = order[keep[order]]
+        # slice-wise probe (bounded encode footprint: order is length-sorted,
+        # so each slice pads only to its own max length)
+        parts: list[np.ndarray] = []
+        for s, e in batch_iter(order.size, PASS1_CHUNK):
+            sub = order[s:e]
+            ls_s = int(lengths[sub].max(initial=0)) or 1
+            codes_s, _ = encode_rows(
+                segments, sub, pad_to=ls_s, table=LENIENT_TABLE
+            )
+            keep = _take_exact(sub, _probe(codes_s, lengths[sub]))
+            parts.append(sub if keep is None else sub[keep])
+        if parts:
+            order = np.concatenate(parts)
         if progress:
             print(
-                f"[match] exact prefilter: {n - order.size}/{n} reads "
-                "resolved at distance 0",
+                f"[match] host prefilter: {n - order.size}/{n} reads "
+                f"resolved at distance <= {1 if d1 else 0}",
                 file=sys.stderr,
             )
 
@@ -216,7 +266,6 @@ def match_segments(
     # ---- chunk layout (index ranges only; encoding happens in the dispatch
     # loop so the host encodes chunk i+1 while the device crunches chunk i) --
     bucket_idx: list[tuple[np.ndarray, int]] = []  # (idx, ls) per bucket
-    chunk_specs: list[tuple[np.ndarray, int]] = []  # (sub, ls)
     lo = 0
     for ls in buckets:
         hi = int(np.searchsorted(lengths[order], ls, side="right"))
@@ -229,14 +278,12 @@ def match_segments(
             print(
                 f"[match] bucket<= {ls}: {idx.size} segments", file=sys.stderr
             )
-        for s, e in batch_iter(idx.size, PASS1_CHUNK):
-            chunk_specs.append((idx[s:e], ls))
 
     def _encode(sub, ls) -> np.ndarray:
         codes, _ = encode_rows(segments, sub, pad_to=ls, table=LENIENT_TABLE)
         return codes
 
-    from ..ops.match_pallas import TIES_K, match_full_tpu
+    from ..ops.match_pallas import BIG, TIES_K, match_full_tpu
     from ..parallel.mesh import (
         local_mesh,
         shard_match_full,
@@ -316,8 +363,7 @@ def match_segments(
                 seg_codes = _encode(sub, ls)
                 if prefilter and probe_slice:
                     keep = _take_exact(
-                        sub, exact_tie_probe(seg_codes, lengths[sub],
-                                             pat_codes)
+                        sub, _probe(seg_codes, lengths[sub])
                     )
                     if keep is not None:
                         sub = sub[keep]
@@ -346,6 +392,11 @@ def match_segments(
         # host CPU device (a per-shape remote compile costs minutes, see
         # CLAUDE.md); on CPU backends with several local devices it runs
         # data+model sharded over the mesh instead.
+        chunk_specs = [
+            (idx[s:e], ls)
+            for idx, ls in bucket_idx
+            for s, e in batch_iter(idx.size, PASS1_CHUNK)
+        ]
         mesh = (
             local_mesh()
             if not mw and jax.default_backend() != "tpu"
@@ -405,7 +456,8 @@ def match_segments(
         pos = offsets[:-1, None] + np.arange(TIES_K)[None, :]
         msk = np.arange(TIES_K)[None, :] < cnts[:, None]
         vals = ep[np.minimum(pos, ep.size - 1)]
-        tie_slots[rows] = np.where(msk, vals, 0)
+        # BIG filler past tie_counts, matching the kernel rows' empty slots
+        tie_slots[rows] = np.where(msk, vals, BIG)
         for i in np.flatnonzero(cnts > TIES_K):
             overflow[int(erids[i])] = ep[offsets[i] : offsets[i + 1]]
 

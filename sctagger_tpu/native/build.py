@@ -18,6 +18,7 @@ _SRCS = [
     _DIR / "hash_table.cpp",
     _DIR / "exact_probe.cpp",
     _DIR / "tsv_writer.cpp",
+    _DIR / "range_search.cpp",
 ]
 _LIB = _DIR / "libsctag_io.so"
 
@@ -199,6 +200,18 @@ def load():
         ctypes.c_char_p,                    # bc_blob (2N x bl)
         ctypes.c_int64,                     # bl
         ctypes.POINTER(ctypes.c_char_p),    # error
+    ]
+    lib.sctag_range_search_u64.restype = None
+    lib.sctag_range_search_u64.argtypes = [
+        ctypes.c_void_p,  # table (uint64*)
+        ctypes.c_int64,   # n_table
+        ctypes.c_void_p,  # off (int64*, n_buckets+1)
+        ctypes.c_int,     # shift
+        ctypes.c_void_p,  # q (uint64*)
+        ctypes.c_int64,   # n_q
+        ctypes.c_int,     # nthreads
+        ctypes.c_void_p,  # out_lo (int64*)
+        ctypes.c_void_p,  # out_cnt (int32*)
     ]
     lib.sctag_file_size.restype = ctypes.c_int64
     lib.sctag_file_size.argtypes = [ctypes.c_char_p]

@@ -155,6 +155,150 @@ def test_match_segments_streaming_kernel_path(monkeypatch):
     assert kern_off == ref
 
 
+@pytest.mark.parametrize("bl", [4, 12, 16, 20, 31])
+def test_neighborhood_probe_vs_oracle(bl):
+    """NeighborhoodIndex.probe == DP oracle on every read with min <= 1:
+    exact min (0/1) and exact tie set; reads with min >= 2 absent."""
+    from oracle import hw_best
+
+    from sctagger_tpu.ops.exact_prefilter import NeighborhoodIndex
+
+    rng = np.random.default_rng(bl)
+    pats = [random_dna(rng, bl) for _ in range(25)]
+    pats[3] = pats[0]  # duplicate pattern ids
+    segs = []
+    for r in range(250):
+        body = random_dna(rng, int(rng.integers(max(1, bl - 3), 3 * bl)))
+        if rng.random() < 0.7:  # plant with 0-2 random edits (sub/del/ins)
+            p = list(pats[int(rng.integers(len(pats)))])
+            for _ in range(int(rng.integers(0, 3))):
+                op = rng.integers(0, 3)
+                pos = int(rng.integers(0, max(1, len(p))))
+                if op == 0 and p:
+                    p[pos] = "ACGT"[int(rng.integers(4))]
+                elif op == 1 and len(p) > 1:
+                    del p[pos]
+                else:
+                    p.insert(pos, "ACGT"[int(rng.integers(4))])
+            at = int(rng.integers(0, max(1, len(body))))
+            body = body[:at] + "".join(p) + body[at:]
+        segs.append(body)
+    seg_codes, lens = encode_seqs(
+        segs, pad_to=max(len(s) for s in segs), table=LENIENT_TABLE
+    )
+    pat_codes, _ = encode_seqs(pats, pad_to=bl, table=LENIENT_TABLE)
+    got = NeighborhoodIndex(pat_codes).probe(seg_codes, lens)
+    got_map = {
+        int(got.rids[i]): (
+            int(got.dists[i]),
+            list(got.pids[got.offsets[i] : got.offsets[i + 1]]),
+        )
+        for i in range(got.rids.size)
+    }
+    for r, s in enumerate(segs):
+        ds = [hw_best(p, s) for p in pats]
+        mn = min(ds)
+        if mn <= 1:
+            want = (mn, [i for i, d in enumerate(ds) if d == mn])
+            assert got_map.get(r) == want, (bl, r, got_map.get(r), want)
+        else:
+            assert r not in got_map, (bl, r)
+
+
+def test_match_segments_d1_parity(monkeypatch):
+    """match_segments with the dist<=1 tier on == d0-only == prefilter off,
+    on a workload heavy in dist-1 reads (subs AND indels), incl. a dist-1
+    tie overflow cluster (>TIES_K barcodes at distance 1 of one read)."""
+    rng = np.random.default_rng(31)
+    core = random_dna(rng, 16)
+    # 12 barcodes, each one substitution from `core`: a segment containing
+    # `core` verbatim is at dist 1 from ALL of them (tie overflow at d1)
+    cluster = []
+    while len(cluster) < 12:
+        b = list(core)
+        b[int(rng.integers(16))] = "ACGT"[int(rng.integers(4))]
+        if "".join(b) != core and "".join(b) not in cluster:
+            cluster.append("".join(b))
+    barcodes = cluster + [random_dna(rng, 16) for _ in range(20)]
+    segs = []
+    for r in range(500):
+        body = random_dna(rng, 24)
+        roll = rng.random()
+        if roll < 0.15:
+            segs.append(body[:4] + core + body[4:8])  # d1 overflow ties
+        elif roll < 0.65:  # one random edit of a barcode (sub, del, or ins)
+            b = list(barcodes[int(rng.integers(len(barcodes)))])
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(b)))
+            if op == 0:
+                b[pos] = "ACGT"[int(rng.integers(4))]
+            elif op == 1:
+                del b[pos]
+            else:
+                b.insert(pos, "ACGT"[int(rng.integers(4))])
+            segs.append(body[:4] + "".join(b) + body[4:8])
+        elif roll < 0.85:  # exact
+            segs.append(body[:4] + barcodes[int(rng.integers(len(barcodes)))]
+                        + body[4:8])
+        else:
+            segs.append(body)
+
+    def run():
+        r = match_segments(segs, barcodes, max_error=2)
+        return (
+            r.rids.tolist(),
+            r.dists.tolist(),
+            r.tie_counts.tolist(),
+            [r.ties_of(i).tolist() for i in range(r.rids.size)],
+        )
+
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "1")
+    monkeypatch.setenv("SCTAG_PREFILTER_D1", "1")
+    d1_on = run()
+    monkeypatch.setenv("SCTAG_PREFILTER_D1", "0")
+    d0_only = run()
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "0")
+    off = run()
+    assert d1_on == d0_only
+    assert d1_on == off
+    assert 1 in d1_on[1]  # dist-1 reads really present
+    from sctagger_tpu.ops.match_pallas import TIES_K
+
+    # some dist-1 read overflowed the tie slots
+    d1_rows = [i for i, d in enumerate(d1_on[1]) if d == 1]
+    assert max(d1_on[2][i] for i in d1_rows) > TIES_K
+
+
+def test_match_segments_d1_mr0(monkeypatch):
+    """max_error=0: dist-1 reads resolved by the d1 tier must be EXCLUDED
+    from the output (reference omits reads beyond mr) while dist-0 reads
+    keep exact tie sets."""
+    rng = np.random.default_rng(77)
+    barcodes = [random_dna(rng, 16) for _ in range(10)]
+    segs = []
+    for r in range(60):
+        b = barcodes[int(rng.integers(len(barcodes)))]
+        if r % 2 == 0:
+            segs.append("ACGT" + b + "AC")
+        else:  # one deletion -> usually dist exactly 1
+            pos = int(rng.integers(16))
+            segs.append("ACGT" + b[:pos] + b[pos + 1 :] + "AC")
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "1")
+    monkeypatch.setenv("SCTAG_PREFILTER_D1", "1")
+    r1 = match_segments(segs, barcodes, max_error=0)
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "0")
+    r0 = match_segments(segs, barcodes, max_error=0)
+    assert r1.rids.tolist() == r0.rids.tolist()
+    assert (r1.dists == 0).all()
+    assert r1.tie_counts.tolist() == r0.tie_counts.tolist()
+    assert [r1.ties_of(i).tolist() for i in range(r1.rids.size)] == [
+        r0.ties_of(i).tolist() for i in range(r0.rids.size)
+    ]
+    # every exact plant matched; most deletion reads excluded (mr=0)
+    assert set(range(0, 60, 2)) <= set(r1.rids.tolist())
+    assert len(r1.rids) < 60
+
+
 def test_match_segments_prefilter_all_exact(monkeypatch):
     """Every read resolved by the prefilter: no device chunks at all."""
     rng = np.random.default_rng(5)

@@ -129,7 +129,12 @@ def _make_inputs(tmp_path: pathlib.Path, rng, bl: int, mr: int,
 
 
 @pytest.mark.parametrize("round_i", range(ROUNDS))
-def test_match_fuzz_parity(tmp_path, round_i):
+def test_match_fuzz_parity(tmp_path, round_i, monkeypatch):
+    # force BOTH host prefilter tiers on (they are default-on, but the fuzz
+    # must not silently lose coverage if a runner env disables them): every
+    # round exercises dist-0 and dist-1 host resolution incl. indel reads
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "1")
+    monkeypatch.setenv("SCTAG_PREFILTER_D1", "1")
     rng = np.random.default_rng(7000 + round_i)
     bl = BLS[round_i % len(BLS)]
     mr = MRS[round_i % len(MRS)]
