@@ -345,15 +345,15 @@ def match_segments(
 
         # Streaming layout: encode + (optionally) prefilter-probe each input
         # slice, repack the min>0 survivors into FULL chunks, flush partials
-        # only at bucket boundaries — so the dist-0 fraction translates into
+        # only at bucket boundaries — so the dist<=1 fraction translates into
         # fewer device chunks, and the probe cost hides behind the async
-        # device pipeline. The VERY FIRST slice skips the probe and ships
-        # whole: probing it would stall the first dispatch behind ~2 slices
-        # of host work (the kernel's results for those reads are identical),
-        # and below ~3 chunks the probe cannot reduce the chunk count anyway.
-        # Measured at 1M segments: 65.0K -> 99.1K segs/s e2e (+52%,
-        # 2026-08-20, 44% dist-0 workload).
-        probe_slice = False
+        # device pipeline. The VERY FIRST slice is special-cased: with the
+        # d1 tier on it gets the cheap EXACT probe (~0.2s, no neighborhood
+        # build wait) — at an ~83%-resolved workload shipping it whole would
+        # waste a full device chunk; with d1 off it ships whole unprobed
+        # (the r3-measured optimum for the dist-0-only probe: 90.0 -> 99.1K
+        # segs/s, 2026-08-20; d1 A/B rows in the CLAUDE.md perf log).
+        first_slice = True
         for idx, ls in bucket_idx:
             carry_sub: list[np.ndarray] = []
             carry_codes: list[np.ndarray] = []
@@ -361,14 +361,17 @@ def match_segments(
             for s, e in batch_iter(idx.size, PASS1_CHUNK):
                 sub = idx[s:e]
                 seg_codes = _encode(sub, ls)
-                if prefilter and probe_slice:
+                if prefilter and (d1 or not first_slice):
                     keep = _take_exact(
-                        sub, _probe(seg_codes, lengths[sub])
+                        sub,
+                        exact_tie_probe(seg_codes, lengths[sub], pat_codes)
+                        if (first_slice and d1)
+                        else _probe(seg_codes, lengths[sub]),
                     )
                     if keep is not None:
                         sub = sub[keep]
                         seg_codes = seg_codes[keep]
-                probe_slice = True
+                first_slice = False
                 carry_sub.append(sub)
                 carry_codes.append(seg_codes)
                 carry_n += sub.size
