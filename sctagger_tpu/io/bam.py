@@ -64,6 +64,12 @@ def extract_cb_counts(path: str) -> tuple[list[str], np.ndarray, int]:
     return barcodes, counts, total.value
 
 
+class SelfSyncError(RuntimeError):
+    """skip=-1 self-synchronization found no valid record boundary (e.g. a
+    record larger than the probe window); callers fall back to the blocking
+    spill handoff."""
+
+
 def extract_cb_counts_range(
     path: str, comp_start: int, comp_end: int, skip: int, parse_header: bool,
     nthreads: int = 2,
@@ -72,11 +78,19 @@ def extract_cb_counts_range(
     compressed byte range [comp_start, comp_end) after dropping ``skip``
     spill bytes from the previous shard.
 
-    Returns (barcodes, counts, firsts, total, n_kept_bc, spill):
+    ``skip == -1`` self-synchronizes instead of waiting for the upstream
+    spill: the reader discovers the first record boundary by validating a
+    chained record walk (bam_reader.cpp find_record_start) and reports the
+    discovered offset, so all hosts inflate+parse concurrently and reconcile
+    afterwards (stages/extract_sr_bc.py). Raises SelfSyncError if no
+    boundary validates.
+
+    Returns (barcodes, counts, firsts, total, n_kept_bc, spill, found_skip):
     ``firsts[i]`` = first LOCAL kept-barcode record index of barcodes[i]
     (callers add the earlier shards' kept counts to globalize);
     ``spill`` = uncompressed bytes this shard's final record(s) consumed past
-    comp_end (the next shard's ``skip``)."""
+    comp_end (the next shard's ``skip``); ``found_skip`` = the discovered
+    boundary offset (equals ``skip`` when it was given explicitly >= 0)."""
     lib = _get_lib()
     barcodes_p = ctypes.c_char_p()
     counts_p = ctypes.POINTER(ctypes.c_int64)()
@@ -85,17 +99,21 @@ def extract_cb_counts_range(
     total = ctypes.c_int64()
     kept = ctypes.c_int64()
     spill = ctypes.c_int64()
+    found_skip = ctypes.c_int64()
     error_p = ctypes.c_char_p()
     rc = lib.sctag_extract_cb_range(
         path.encode(), comp_start, comp_end, skip,
         1 if parse_header else 0, nthreads,
         ctypes.byref(barcodes_p), ctypes.byref(counts_p),
         ctypes.byref(firsts_p), ctypes.byref(n_unique), ctypes.byref(total),
-        ctypes.byref(kept), ctypes.byref(spill), ctypes.byref(error_p),
+        ctypes.byref(kept), ctypes.byref(spill), ctypes.byref(found_skip),
+        ctypes.byref(error_p),
     )
     if rc != 0:
         msg = (error_p.value or b"unknown error").decode()
         lib.sctag_free(ctypes.cast(error_p, ctypes.c_void_p))
+        if rc == 2:
+            raise SelfSyncError(f"BAM self-sync failed for {path}: {msg}")
         raise RuntimeError(f"BAM shard read failed for {path}: {msg}")
     try:
         raw = barcodes_p.value or b""
@@ -111,7 +129,8 @@ def extract_cb_counts_range(
         lib.sctag_free(ctypes.cast(barcodes_p, ctypes.c_void_p))
         lib.sctag_free(ctypes.cast(counts_p, ctypes.c_void_p))
         lib.sctag_free(ctypes.cast(firsts_p, ctypes.c_void_p))
-    return barcodes, counts, firsts, total.value, kept.value, spill.value
+    return (barcodes, counts, firsts, total.value, kept.value, spill.value,
+            found_skip.value)
 
 
 def bam_file_size(path: str) -> int:

@@ -238,8 +238,71 @@ struct Result {
     std::vector<int64_t> firsts;  // first local kept-barcode index
     int64_t total = 0;            // kept (mapped, flag<=256) records
     int64_t spill = 0;            // bytes consumed past comp_end
+    int64_t found_skip = 0;       // self-sync: discovered record boundary
     std::string error;
 };
+
+// Validate a candidate record boundary by walking the record chain from `p`:
+// each step checks block_size plausibility, refID/pos/l_read_name/l_seq field
+// ranges, that the fixed layout fits block_size, and that the read name is
+// NUL-terminated. STRICTLY requires `need` chained records to validate —
+// accepting a shorter chain that merely runs off the buffer is unsafe (a
+// garbage block_size that jumps past the window would "validate"), so
+// candidates near a too-small buffer fail and the caller falls back to the
+// blocking spill handoff. A false accept needs a garbage record whose
+// block_size lands EXACTLY on a true record boundary AND whose fields all
+// pass (~1e-8 per candidate); the caller reconciles against the
+// authoritative spill afterwards regardless.
+bool validate_chain(const unsigned char* p, size_t avail, int need) {
+    size_t off = 0;
+    int ok = 0;
+    while (ok < need) {
+        if (off + 4 + 36 > avail) return false;  // strict: no tail credit
+        int32_t bs;
+        std::memcpy(&bs, p + off, 4);
+        if (bs < 32 || bs > (256 << 20)) return false;
+        const unsigned char* r = p + off + 4;
+        int32_t ref_id, pos, l_seq, next_ref, next_pos;
+        std::memcpy(&ref_id, r, 4);
+        std::memcpy(&pos, r + 4, 4);
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar;
+        std::memcpy(&n_cigar, r + 12, 2);
+        std::memcpy(&l_seq, r + 16, 4);
+        std::memcpy(&next_ref, r + 20, 4);
+        std::memcpy(&next_pos, r + 24, 4);
+        if (ref_id < -1 || ref_id > 100000000) return false;
+        if (next_ref < -1 || next_ref > 100000000) return false;
+        if (pos < -1 || next_pos < -1) return false;
+        if (l_read_name < 2) return false;  // >= 1 char + NUL
+        if (l_seq < 0) return false;
+        size_t fixed = 32 + (size_t)l_read_name + 4ull * n_cigar +
+                       ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+        if (fixed > (size_t)bs) return false;
+        if (off + 4 + 32 + l_read_name <= avail &&
+            r[32 + l_read_name - 1] != 0)
+            return false;  // name must be NUL-terminated
+        ok++;
+        off += 4 + (size_t)bs;
+    }
+    return true;
+}
+
+// Self-synchronization: find the first BAM record boundary in [p, p+avail)
+// (the previous shard's final record may spill into this shard's bytes).
+// Candidates are byte offsets tried in order; the first whose record chain
+// validates wins. Returns -1 if none validates (e.g. a record larger than
+// the probe window, or a shard with fewer than `need` records — callers
+// fall back to the blocking spill handoff).
+int64_t find_record_start(const unsigned char* p, size_t avail, int need) {
+    if (avail == 0) return 0;
+    if (avail < 4 + 36) return -1;
+    size_t limit = avail - (4 + 36);
+    for (size_t c = 0; c <= limit; c++) {
+        if (validate_chain(p + c, avail - c, need)) return (int64_t)c;
+    }
+    return -1;
+}
 
 // Open-addressing barcode counter keyed by raw bytes (no per-record
 // std::string allocation on the ~100ns/record hot path; unordered_map's
@@ -562,6 +625,28 @@ int extract_range(const char* path, int64_t comp_start, int64_t comp_end,
             st.pos += 8 + (size_t)l_name;
             consumed += 8 + (int64_t)l_name;
         }
+    } else if (skip == -1) {
+        // self-synchronize (stages/extract_sr_bc.py parallel protocol): do
+        // NOT wait for the previous shard's spill — discover the first
+        // record boundary by validating a chained record walk, scan
+        // immediately, and let the caller reconcile the discovered offset
+        // against the authoritative spill when it arrives. rc=2 signals
+        // "no boundary found" (the caller falls back to the spill handoff).
+        size_t target = own_end < (16 << 20) ? (size_t)own_end : (16u << 20);
+        if (target > 0 && !st.want(target) && !st.err.empty()) {
+            out.error = st.err;
+            return 1;
+        }
+        int64_t found =
+            find_record_start(st.buf.data() + st.pos, st.buf.size() - st.pos,
+                              /*need=*/8);
+        if (found < 0) {
+            out.error = "self-sync found no valid record boundary";
+            return 2;
+        }
+        st.pos += (size_t)found;
+        consumed += found;
+        out.found_skip = found;
     } else if (skip > 0) {
         // drop the previous shard's spill; a skip larger than this shard
         // (a record bigger than the whole shard) just forwards the excess
@@ -649,16 +734,21 @@ int sctag_extract_cb(const char* path, char** barcodes, int64_t** counts,
 // local kept-barcode record count (*n_kept_bc) so hosts can reconstruct the
 // global first-appearance order, plus *spill for the next shard.
 // parse_header must be 1 for the shard containing offset 0.
+// skip == -1 self-synchronizes (no upstream wait): the discovered boundary
+// offset lands in *found_skip for the caller to reconcile against the true
+// spill; rc == 2 means no boundary was found (fall back to a blocking skip).
 int sctag_extract_cb_range(const char* path, int64_t comp_start,
                            int64_t comp_end, int64_t skip, int parse_header,
                            int nthreads, char** barcodes, int64_t** counts,
                            int64_t** firsts, int64_t* n_unique,
                            int64_t* total, int64_t* n_kept_bc,
-                           int64_t* spill, char** error) {
+                           int64_t* spill, int64_t* found_skip,
+                           char** error) {
     Result r;
     int rc = extract_range(path, comp_start, comp_end, skip,
                            parse_header != 0, nthreads, r);
     *error = nullptr;
+    *found_skip = r.found_skip;
     if (rc != 0) {
         *error = static_cast<char*>(std::malloc(r.error.size() + 1));
         std::memcpy(*error, r.error.c_str(), r.error.size() + 1);

@@ -150,6 +150,7 @@ def load():
         ctypes.POINTER(ctypes.c_int64),     # total
         ctypes.POINTER(ctypes.c_int64),     # n_kept_bc
         ctypes.POINTER(ctypes.c_int64),     # spill
+        ctypes.POINTER(ctypes.c_int64),     # found_skip (self-sync)
         ctypes.POINTER(ctypes.c_char_p),    # error
     ]
     lib.sctag_fastq_stream_open.restype = ctypes.c_void_p

@@ -152,7 +152,7 @@ def test_extract_cb_range_shard_chain(tmp_path):
         total = 0
         kept_off = 0
         for h in range(n_shards):
-            bcs, counts, firsts, t, kept, spill = extract_cb_counts_range(
+            bcs, counts, firsts, t, kept, spill, _ = extract_cb_counts_range(
                 path, bounds[h], bounds[h + 1], skip, parse_header=(h == 0),
             )
             total += t
@@ -170,6 +170,54 @@ def test_extract_cb_range_shard_chain(tmp_path):
         ranked = sorted(agg.items(), key=lambda kv: kv[1][1])
         assert [b for b, _ in ranked] == want_bc
         assert [v[0] for _, v in ranked] == list(want_counts)
+
+
+def test_extract_cb_range_self_sync(tmp_path):
+    """skip=-1 self-synchronization must discover exactly the boundary the
+    spill chain dictates (found_skip == upstream spill) and return identical
+    scan results — for every shard of several shardings, so boundaries land
+    at varied offsets inside records."""
+    import numpy as np
+
+    from sctagger_tpu.io.bam import bam_file_size, extract_cb_counts_range
+
+    from bamgen import write_bam
+    from oracle import random_dna
+
+    rng = np.random.default_rng(41)
+    pool = [random_dna(rng, 16) for _ in range(40)]
+    alns = {"c1": [
+        {"flag": 0, "name": f"q{i}", "pos": i,
+         "tags": [["CB", pool[int(rng.integers(40))] + "-1"]],
+         "seq": random_dna(rng, int(rng.integers(20, 120)))}
+        for i in range(6000)
+    ]}
+    path = str(tmp_path / "sync.bam")
+    write_bam(path, ["c1"], alns)
+    size = bam_file_size(path)
+
+    for n_shards in (2, 4):
+        bounds = [size * i // n_shards for i in range(n_shards + 1)]
+        # authoritative spill chain
+        spills = [0]
+        chained = []
+        for h in range(n_shards):
+            res = extract_cb_counts_range(
+                path, bounds[h], bounds[h + 1], spills[-1],
+                parse_header=(h == 0),
+            )
+            chained.append(res)
+            spills.append(res[5])
+        # self-sync every non-first shard, no upstream info
+        for h in range(1, n_shards):
+            res = extract_cb_counts_range(
+                path, bounds[h], bounds[h + 1], -1, parse_header=False
+            )
+            assert res[6] == spills[h], (n_shards, h)  # found == true skip
+            want = chained[h]
+            assert res[0] == want[0], (n_shards, h)  # barcodes
+            assert (res[1] == want[1]).all() and (res[2] == want[2]).all()
+            assert res[3:6] == want[3:6], (n_shards, h)
 
 
 def test_bam_crc_mismatch_detected(tmp_path):
