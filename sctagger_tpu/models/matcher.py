@@ -86,6 +86,70 @@ def _use_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+class MatchContext:
+    """Reusable cross-call state for batched matching (the checkpointed
+    flagship path, stages/match_trie.py): pattern encodings, the Peq table,
+    the d1 neighborhood index (built ONCE on a worker thread instead of per
+    batch), and optionally pinned globally-fitted length buckets so every
+    batch reuses the same compiled kernel shapes even when a batch's length
+    distribution shifts (Snakefile:121-134 resume contract without extra
+    ~3.5-minute remote compiles)."""
+
+    def __init__(self, barcodes: Sequence[str], buckets=None):
+        self.barcodes = list(barcodes)
+        self.bl = len(self.barcodes[0])
+        self.pat_codes = _build_patterns(self.barcodes, self.bl)
+        self.buckets = list(buckets) if buckets is not None else None
+        # eager: shared by concurrently pipelined batch calls (match_trie
+        # overlaps batch i's device tail with batch i+1's host work)
+        if self.bl > MAX_PATTERN_LEN:
+            from ..ops.myers import build_peq_multi_mw
+
+            self._peq = build_peq_multi_mw(self.pat_codes)  # (W, 5, 2N)
+        else:
+            self._peq = build_peq_multi(self.pat_codes)  # (5, 2N)
+        import threading
+
+        self._nb_lock = threading.Lock()
+        self._nb_thread = None
+        self._nb_box: dict = {}
+
+    def peq(self):
+        return self._peq
+
+    def start_nb_build(self) -> None:
+        """Kick off the neighborhood-table build on a worker thread
+        (idempotent, safe under concurrent batch calls)."""
+        with self._nb_lock:
+            if self._nb_thread is not None:
+                return
+            import threading
+
+            from ..ops.exact_prefilter import NeighborhoodIndex
+
+            def _build() -> None:
+                try:
+                    self._nb_box["idx"] = NeighborhoodIndex(self.pat_codes)
+                except BaseException as e:  # propagate into nb_index()
+                    self._nb_box["err"] = e
+
+            self._nb_thread = threading.Thread(target=_build, daemon=True)
+            self._nb_thread.start()
+
+    def nb_index(self):
+        self.start_nb_build()
+        self._nb_thread.join()
+        if "err" in self._nb_box:
+            raise self._nb_box["err"]
+        return self._nb_box["idx"]
+
+
+def fit_buckets(lengths: np.ndarray) -> list[int]:
+    """Public bucket fit for callers pinning buckets across batches
+    (MatchContext); same quantile rule the single-shot path uses."""
+    return _seg_buckets(np.asarray(lengths))
+
+
 def _build_patterns(barcodes: Sequence[str], bl: int) -> np.ndarray:
     """Interleaved (2N, bl) lenient code array: p=2*bid rc, p=2*bid+1 fwd."""
     pats: list[str] = []
@@ -142,20 +206,24 @@ def match_segments(
     max_error: int,
     progress: bool = False,
     force_kernel: bool = False,
+    ctx: MatchContext | None = None,
+    probe_first: bool = False,
 ) -> MatchResult:
     """Match every segment against fwd+rc of every barcode within max_error.
 
     ``force_kernel`` drives the Pallas kernel path in interpret mode on
-    non-TPU backends (CPU tests of the streaming dispatch/prefilter logic)."""
-    bl = len(barcodes[0])
-    pat_codes = _build_patterns(barcodes, bl)
+    non-TPU backends (CPU tests of the streaming dispatch/prefilter logic).
+    ``ctx`` reuses pattern/neighborhood state across batched calls and pins
+    bucket shapes; ``probe_first`` gives the FIRST slice the full prefilter
+    probe too (batches after the global first in the checkpointed stage —
+    their pipeline is already warm, so the cold-start concession would only
+    leak device work)."""
+    if ctx is None:
+        ctx = MatchContext(barcodes)
+    bl = ctx.bl
+    pat_codes = ctx.pat_codes
     mw = bl > MAX_PATTERN_LEN  # multi-word jnp path for long barcodes
-    if mw:
-        from ..ops.myers import build_peq_multi_mw
-
-        peq = build_peq_multi_mw(pat_codes)  # (W, 5, 2N)
-    else:
-        peq = build_peq_multi(pat_codes)  # (5, 2N)
+    peq = ctx.peq()  # (5, 2N) single-word or (W, 5, 2N) multi-word
     n_pat = pat_codes.shape[0]
     on_tpu = _use_tpu() and not mw
     use_kernel = (on_tpu or force_kernel) and not mw  # kernels single-word
@@ -216,28 +284,13 @@ def match_segments(
         d1 = os.environ.get("SCTAG_PREFILTER_D1", "1") == "1" and bl <= 31
         if d1:
             # the ~2s neighborhood build runs on a worker thread behind the
-            # first (unprobed) device chunk; _probe joins it on first use
-            import threading
-
-            from ..ops.exact_prefilter import NeighborhoodIndex
-
-            nb_box: dict = {}
-
-            def _nb_build() -> None:
-                try:
-                    nb_box["idx"] = NeighborhoodIndex(pat_codes)
-                except BaseException as e:  # propagate into _probe
-                    nb_box["err"] = e
-
-            nb_th = threading.Thread(target=_nb_build, daemon=True)
-            nb_th.start()
+            # first device chunk; _probe joins it on first use (a ctx reuses
+            # the built index across batched calls)
+            ctx.start_nb_build()
 
         def _probe(codes_s: np.ndarray, lens_s: np.ndarray):
             if d1:
-                nb_th.join()
-                if "err" in nb_box:
-                    raise nb_box["err"]
-                return nb_box["idx"].probe(codes_s, lens_s)
+                return ctx.nb_index().probe(codes_s, lens_s)
             return exact_tie_probe(codes_s, lens_s, pat_codes)
 
     if prefilter and not use_kernel:
@@ -261,7 +314,13 @@ def match_segments(
                 file=sys.stderr,
             )
 
-    buckets = _seg_buckets(lengths[order])
+    buckets = (
+        ctx.buckets if ctx.buckets is not None else _seg_buckets(lengths[order])
+    )
+    if order.size and int(lengths[order[-1]]) > buckets[-1]:
+        # pinned buckets narrower than this batch (foreign ctx): extend
+        # rather than silently dropping the tail
+        buckets = buckets + [round_up(int(lengths[order[-1]]), 8)]
 
     # ---- chunk layout (index ranges only; encoding happens in the dispatch
     # loop so the host encodes chunk i+1 while the device crunches chunk i) --
@@ -319,13 +378,26 @@ def match_segments(
                 min_dist[sub] = out[0]
                 tie_by_chunk[ci] = out[1:]
 
+        # one small "tail" shape besides the full chunk: a bucket's final
+        # partial flush (or a tiny whole input) pads to PASS1_CHUNK//8
+        # instead of the full chunk, cutting the padded-FLOPs waste of every
+        # checkpoint-batch boundary ~8x for the cost of at most ONE extra
+        # compiled shape per bucket. Must stay a whole number of BR blocks
+        # divisible over the data mesh axis.
+        tail_chunk = max(DEF_BR, PASS1_CHUNK // 8)
+        dp = mesh.shape["data"] if mesh is not None else 1
+        if (tail_chunk // DEF_BR) % max(dp, 1):
+            tail_chunk = PASS1_CHUNK
+
         def _dispatch(sub: np.ndarray, seg_codes: np.ndarray, ls: int) -> None:
             # async dispatch overlaps host work (encode/probe of the next
             # slice) with in-flight device chunks; one compiled shape per
-            # bucket: always pad to the full chunk
+            # bucket (+ the tail shape): pad to the full chunk unless the
+            # flush fits the tail shape
             chunks.append((sub, seg_codes, ls))
             tie_by_chunk.append(None)
-            seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=PASS1_CHUNK)
+            r_pad = tail_chunk if sub.size <= tail_chunk else PASS1_CHUNK
+            seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=r_pad)
             if mesh is not None and mp > 1:
                 dev = shard_match_full_mp(
                     mesh, jnp.asarray(seg_T), peq_j, bl, br=DEF_BR,
@@ -361,11 +433,11 @@ def match_segments(
             for s, e in batch_iter(idx.size, PASS1_CHUNK):
                 sub = idx[s:e]
                 seg_codes = _encode(sub, ls)
-                if prefilter and (d1 or not first_slice):
+                if prefilter and (d1 or probe_first or not first_slice):
                     keep = _take_exact(
                         sub,
                         exact_tie_probe(seg_codes, lengths[sub], pat_codes)
-                        if (first_slice and d1)
+                        if (first_slice and d1 and not probe_first)
                         else _probe(seg_codes, lengths[sub]),
                     )
                     if keep is not None:

@@ -359,6 +359,14 @@ def match_full_tpu(
     ``interpret`` runs the kernel in Pallas interpret mode (CPU tests of the
     sharded production path, parallel/mesh.py).
     """
+    if w16 and not interpret and jax.default_backend() == "tpu":
+        # the int16 path has NEVER compiled on v5e Mosaic (packed-i16
+        # vector compares unsupported — ROADMAP.md w16 postmortem); fail
+        # loudly instead of shipping an unbounded remote-compile attempt
+        raise NotImplementedError(
+            "w16=True cannot compile on this TPU (Mosaic lacks packed-i16 "
+            "compares); use the default int32 path or interpret=True"
+        )
     ls, r = seg_T.shape
     p = peq_pm.shape[0]
     grid = (r // br, p // bp)

@@ -72,6 +72,22 @@ class PartStore:
         tmp.write_text(data)
         tmp.replace(self._path(i, "tsv"))  # atomic completion marker
 
+    def save_file(self, i: int, ext: str, write_fn) -> bool:
+        """Part written straight to a file by ``write_fn(tmp_path) -> bool``
+        (e.g. the native TSV formatter) and renamed into place on success —
+        the rename stays the atomic completion marker. Returns False when
+        disabled or when write_fn declines (caller falls back to save_text).
+        """
+        if not self.enabled:
+            return False
+        tmp = self._path(i, ext).with_suffix(".tmp")
+        ok = bool(write_fn(str(tmp)))
+        if ok:
+            tmp.replace(self._path(i, ext))
+        else:
+            tmp.unlink(missing_ok=True)
+        return ok
+
     # --- array parts (adapter-scan results) -----------------------------
     def load_arrays(self, i: int) -> dict:
         with np.load(self._path(i, "npz")) as z:

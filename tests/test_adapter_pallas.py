@@ -1,5 +1,7 @@
 """Pallas adapter-scan kernel (interpret mode) vs the jnp mask path."""
 
+import os
+
 import numpy as np
 
 from sctagger_tpu.core import STRICT_TABLE, encode_seqs, encode_str, rev_compl
@@ -10,6 +12,9 @@ from sctagger_tpu.ops.myers import build_peq_multi
 import jax.numpy as jnp
 
 from oracle import mutate, random_dna
+
+# compiled on hardware under SCTAG_TEST_TPU=1 (tools/tpu_suite.py)
+INTERP = not bool(os.environ.get("SCTAG_TEST_TPU"))
 
 ADAPTER = "CTACACGACGCTCTTCCGATCT"
 
@@ -53,7 +58,7 @@ def test_adapter_kernel_matches_jnp():
     # fallback (covered by test_scan_kernel_path.py).
 
     codes, lens, peq2, d_ref, mask_ref = _expected(texts)
-    fwd, rc = adapter_scan_tpu(codes, lens, peq2, len(ADAPTER), interpret=True)
+    fwd, rc = adapter_scan_tpu(codes, lens, peq2, len(ADAPTER), interpret=INTERP)
 
     for p, got in ((0, fwd), (1, rc)):
         np.testing.assert_array_equal(got["d"], np.minimum(d_ref[:, p], 22))
@@ -81,7 +86,7 @@ def test_adapter_kernel_multi_chunk_state():
         t = t[:pos] + ADAPTER + t[pos:]
         texts.append(t)
     codes, lens, peq2, d_ref, mask_ref = _expected(texts)
-    fwd, rc = adapter_scan_tpu(codes, lens, peq2, len(ADAPTER), interpret=True)
+    fwd, rc = adapter_scan_tpu(codes, lens, peq2, len(ADAPTER), interpret=INTERP)
     np.testing.assert_array_equal(fwd["d"], d_ref[:, 0])
     for b in range(len(texts)):
         ends = np.flatnonzero(mask_ref[:, b, 0])

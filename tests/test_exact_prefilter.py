@@ -299,6 +299,60 @@ def test_match_segments_d1_mr0(monkeypatch):
     assert len(r1.rids) < 60
 
 
+def test_match_context_batched_parity(monkeypatch):
+    """Batched calls sharing a MatchContext (pinned global buckets, reused
+    neighborhood index, probe_first on later batches) == one-shot call —
+    including a batch whose length distribution differs from the global fit
+    (all-long reads) and the streaming kernel path."""
+    import sctagger_tpu.models.matcher as matcher
+    from sctagger_tpu.core.packing import seq_lengths
+    from sctagger_tpu.models.matcher import MatchContext, fit_buckets
+
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "1")
+    monkeypatch.setenv("SCTAG_PREFILTER_D1", "1")
+    monkeypatch.setattr(matcher, "PASS1_CHUNK", 1024)
+    rng = np.random.default_rng(9)
+    base = [random_dna(rng, 16) for _ in range(15)]
+    segs = []
+    for r in range(3200):
+        # first half short reads, second half long: per-batch length
+        # distributions differ from the global one
+        body = random_dna(rng, 24 if r < 1600 else 72)
+        roll = rng.random()
+        if roll < 0.4:
+            b = base[int(rng.integers(len(base)))]
+            segs.append(body[:4] + b + body[4:8])
+        elif roll < 0.7:
+            b = list(base[int(rng.integers(len(base)))])
+            for _ in range(int(rng.integers(1, 3))):
+                b[int(rng.integers(16))] = "ACGT"[int(rng.integers(4))]
+            segs.append(body[:4] + "".join(b) + body[4:8])
+        else:
+            segs.append(body)
+
+    def summarize(r, off=0):
+        return [
+            (int(r.rids[i]) + off, int(r.dists[i]),
+             r.ties_of(i).tolist())
+            for i in range(r.rids.size)
+        ]
+
+    one = summarize(
+        matcher.match_segments(segs, base, max_error=2, force_kernel=True)
+    )
+    ctx = MatchContext(base, buckets=fit_buckets(seq_lengths(segs)))
+    batched = []
+    for bi, s in enumerate(range(0, 3200, 800)):
+        r = matcher.match_segments(
+            segs[s : s + 800], base, max_error=2, force_kernel=True,
+            ctx=ctx, probe_first=(bi > 0),
+        )
+        batched.extend(summarize(r, off=s))
+    assert batched == one
+    # the neighborhood index really was shared (built exactly once)
+    assert ctx._nb_thread is not None
+
+
 def test_match_segments_prefilter_all_exact(monkeypatch):
     """Every read resolved by the prefilter: no device chunks at all."""
     rng = np.random.default_rng(5)

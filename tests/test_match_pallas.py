@@ -1,6 +1,7 @@
 """Pallas match kernels vs the jnp scan implementation (interpret mode on CPU)."""
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,12 @@ from sctagger_tpu.ops.match_pallas import (
 
 from oracle import mutate, random_dna
 
+# interpret mode in the default CPU test run; COMPILED on real hardware when
+# the TPU suite runs these files (tools/tpu_suite.py, SCTAG_TEST_TPU=1).
+# The w16 test is the exception: packed-i16 compares never compile on v5e
+# Mosaic (ROADMAP.md), so it stays in interpret mode everywhere.
+INTERP = not bool(os.environ.get("SCTAG_TEST_TPU"))
+
 
 def _pallas_min_interp(seg_T, peq_pm, m, br, bp):
     ls, r = seg_T.shape
@@ -34,7 +41,7 @@ def _pallas_min_interp(seg_T, peq_pm, m, br, bp):
         out_specs=pl.BlockSpec((1, br), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, r), jnp.int32),
         scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
-        interpret=True,
+        interpret=INTERP,
     )(seg_T, peq_pm)
 
 
@@ -51,7 +58,7 @@ def _pallas_best_interp(seg_T, peq_pm, m, br, bp):
         out_specs=pl.BlockSpec((bp, br), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, r), jnp.int8),
         scratch_shapes=[pltpu.VMEM((ls, br), jnp.int32)],
-        interpret=True,
+        interpret=INTERP,
     )(seg_T, peq_pm)
 
 
@@ -110,7 +117,7 @@ def test_pallas_ties_kernel(small_problem):
         ),
         out_shape=jax.ShapeDtypeStruct((TIES_K + 1, r), jnp.int32),
         scratch_shapes=[pltpu.VMEM((64, br), jnp.int32)],
-        interpret=True,
+        interpret=INTERP,
     )(jnp.asarray(seg_T), jnp.asarray(peq_pm), jnp.asarray(target.reshape(1, r)))
     out = np.asarray(out)[:, : len(segs)]
 
@@ -148,7 +155,7 @@ def test_pallas_full_kernel(small_problem):
         ),
         out_shape=jax.ShapeDtypeStruct((TIES_K + 2, r), jnp.int32),
         scratch_shapes=[pltpu.VMEM((64, br), jnp.int32)],
-        interpret=True,
+        interpret=INTERP,
     )(jnp.asarray(seg_T), jnp.asarray(peq_pm))
     out = np.asarray(out)[:, : len(segs)]
 
@@ -193,7 +200,7 @@ def test_pallas_full_kernel_w16(small_problem):
                 ),
                 out_shape=jax.ShapeDtypeStruct((TIES_K + 2, r), jnp.int32),
                 scratch_shapes=[pltpu.VMEM((64, br), jnp.int32)],
-                interpret=True,
+                interpret=True,  # w16 never compiles on v5e Mosaic
             )(jnp.asarray(seg_T), jnp.asarray(peq_pm))
         )[:, : len(segs)]
 
@@ -242,6 +249,19 @@ def test_pallas_min_bl32_single_word(small_problem=None):
     np.testing.assert_array_equal(np.minimum(ref, 32), np.minimum(want, 32))
 
 
+def test_w16_guarded_on_tpu(monkeypatch):
+    """match_full_tpu(w16=True) must refuse to reach Mosaic on real TPU
+    hardware (the int16 path has never compiled on v5e; ROADMAP.md) instead
+    of launching an unbounded remote compile."""
+    import sctagger_tpu.ops.match_pallas as mp
+
+    seg_T = jnp.asarray(np.full((8, 1024), 4, np.int8))
+    peq_pm = jnp.asarray(np.zeros((256, 8), np.int32))
+    monkeypatch.setattr(mp.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(NotImplementedError, match="w16"):
+        mp.match_full_tpu(seg_T, peq_pm, 16, w16=True, interpret=False)
+
+
 def test_match_full_variants_parity():
     """hb (high-bit score accumulation) and dynls (per-block dynamic sweep
     bound) are bit-identical to the base fused kernel (interpret mode)."""
@@ -280,10 +300,10 @@ def test_match_full_variants_parity():
     rp = seg_T.shape[1]
 
     base = np.asarray(
-        match_full_tpu(seg_T, peq_pm, bl, br=br, bp=bp, interpret=True)
+        match_full_tpu(seg_T, peq_pm, bl, br=br, bp=bp, interpret=INTERP)
     )
     hb = np.asarray(
-        match_full_tpu(seg_T, peq_pm, bl, br=br, bp=bp, hb=True, interpret=True)
+        match_full_tpu(seg_T, peq_pm, bl, br=br, bp=bp, hb=True, interpret=INTERP)
     )
     np.testing.assert_array_equal(hb, base)
 
@@ -293,7 +313,7 @@ def test_match_full_variants_parity():
         ml[0, b] = int(blk.max()) if blk.size else 0
     dyn = np.asarray(
         match_full_dynls_tpu(
-            seg_T, peq_pm, jnp.asarray(ml), bl, br=br, bp=bp, interpret=True
+            seg_T, peq_pm, jnp.asarray(ml), bl, br=br, bp=bp, interpret=INTERP
         )
     )
     np.testing.assert_array_equal(dyn, base)

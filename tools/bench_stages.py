@@ -188,11 +188,15 @@ def bench_sr(n_alns: int) -> None:
     })
 
 
-def bench_alt(n_rows: int, n_whitelist: int, probe: str = "host") -> None:
+def bench_alt(n_rows: int, n_whitelist: int, probe: str = "host",
+              key_suffix: str = "") -> None:
     """One row per probe. The CLI default is the HOST C++ hash probe
     (cli.py marks the stage host-only unless SCTAG_PROBE=device), so the
     default row's backend is host-c++, NOT the jax backend; probe="device"
-    benches the on-device binary-search kernel as a second honest entry."""
+    benches the on-device binary-search kernel as a second honest entry.
+    ``key_suffix`` records extra scales (e.g. "_3m" for the real 10x-sized
+    ~3M-row whitelist -> ~6M fwd+rc keys, scTagger.py:793-799) without
+    overwriting the default rows."""
     from measure_reference import make_alt_fixture
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="sctag_ouralt_"))
@@ -204,7 +208,7 @@ def bench_alt(n_rows: int, n_whitelist: int, probe: str = "host") -> None:
         cold, dt, _ = _run_cli_steady(argv)
     finally:
         del os.environ["SCTAG_PROBE"]
-    _record("alt" if probe == "host" else f"alt_{probe}", {
+    _record(("alt" if probe == "host" else f"alt_{probe}") + key_suffix, {
         "value": round(n_rows / dt, 2),
         "unit": "rows/s",
         "n_rows": n_rows,
@@ -220,7 +224,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "stage",
-        choices=["lr", "lr_sustained", "sr", "alt", "alt_device", "all"],
+        choices=["lr", "lr_sustained", "sr", "alt", "alt_device",
+                 "alt_3m", "alt_device_3m", "all"],
         nargs="?", default="all")
     ap.add_argument("-n", type=int, default=None)
     ap.add_argument("--read-len", type=int, default=2000)
@@ -239,6 +244,14 @@ def main():
         bench_alt(a.n or 1_000_000, a.whitelist, probe="host")
     if a.stage in ("alt_device", "all"):
         bench_alt(a.n or 1_000_000, a.whitelist, probe="device")
+    # real 10x-scale whitelist (~3M rows -> ~6M keys): the device table
+    # grows to ~48 MB and the binary search gains depth (VERDICT r3 #8)
+    if a.stage == "alt_3m":
+        bench_alt(a.n or 1_000_000, 3_000_000, probe="host",
+                  key_suffix="_3m")
+    if a.stage == "alt_device_3m":
+        bench_alt(a.n or 1_000_000, 3_000_000, probe="device",
+                  key_suffix="_3m")
 
 
 if __name__ == "__main__":

@@ -64,24 +64,25 @@ def main() -> None:
     for br, bp in ((1024, 256), (256, 256), (128, 256), (1024, 512),
                    (128, 8)):
         n_rb = R // br
-        n_pb = P // bp
+        n_pb = -(-P // bp)  # include the ragged final pattern block
         skippable = 0
         strict_after_first = 0
         for i in range(n_rb):
-            blk = best[: n_pb * bp, i * br : (i + 1) * br]
-            bmins = blk.reshape(n_pb, bp, br).min(axis=1)  # (n_pb, br)
+            blk = best[:, i * br : (i + 1) * br]
             d = np.full(br, 16, np.int32)
             for j in range(n_pb):
-                if (bmins[j] > d).all():
+                bmin = blk[j * bp : (j + 1) * bp].min(axis=0)
+                if (bmin > d).all():
                     skippable += 1
                     if j > 0:
                         strict_after_first += 1
-                np.minimum(d, bmins[j], out=d)
+                np.minimum(d, bmin, out=d)
         total = n_rb * n_pb
         results[f"br{br}_bp{bp}"] = {
             "grid_cells": total,
             "skippable": skippable,
             "skip_rate": round(skippable / total, 6),
+            "strict_after_first": strict_after_first,
         }
         print(
             f"BR={br:5d} BP={bp:4d}: {skippable}/{total} blocks skippable "
