@@ -396,6 +396,18 @@ def scan_adapters_stream(
         mesh = local_mesh(model_parallel=1)
     n_mesh = int(mesh.shape["data"]) if mesh is not None else 1
 
+    # host exact-adapter prefilter (VERDICT r3 #3, native/adapter_d0.cpp):
+    # a read with an exact adapter occurrence on exactly ONE strand is fully
+    # decided host-side (d=0 beats the other strand's d>=1; locs = exact
+    # ends fwd / starts-L-1 rev with start = end-m+1 at dist 0); exact hits
+    # on BOTH strands are the d1==d2 tie => NA. Either way the read skips
+    # the 2-bit pack AND the tunnel upload — the proven stage-1 wall. On
+    # high-accuracy reads this removes the majority of upload volume
+    # (0.99^22 ~ 80% at Q20). SCTAG_ADAPTER_D0=0 disables.
+    d0_scan = None
+    if m <= 32 and _os.environ.get("SCTAG_ADAPTER_D0", "1") == "1":
+        d0_scan = _make_d0_scanner(pat_stack, m)
+
     MAX_BUCKETS = 6  # hard cap on compiled shapes (each ~3.5min on axon)
     buckets: list[int] = []
     pend_idx: dict[int, list[np.ndarray]] = {}  # bucket L -> carried row ids
@@ -473,6 +485,19 @@ def scan_adapters_stream(
                 nd[: dists.size] = dists
                 dists = nd
             lens_b = np.asarray(sb.lengths)
+            keep_b = None
+            if d0_scan is not None:
+                with prof_timer("scan.d0probe"):
+                    keep_b = d0_scan(
+                        sb, off, strands, dists, loc_rids, loc_vals
+                    )
+                if keep_b is not None and progress:
+                    nres = int(len(sb) - keep_b.sum())
+                    if nres:
+                        print(
+                            f"[scan] host d0 prefilter: {nres}/{len(sb)} "
+                            "reads resolved", file=sys.stderr,
+                        )
             if not buckets:
                 buckets = list(_read_buckets(lens_b))
             if int(lens_b.max()) > buckets[-1] and len(buckets) < MAX_BUCKETS:
@@ -483,6 +508,8 @@ def scan_adapters_stream(
                         print(f"[scan] new length bucket {newL}", file=sys.stderr)
             barr = np.asarray(buckets, np.int64)
             bi_of = np.searchsorted(barr, lens_b, side="left")
+            if keep_b is not None:
+                bi_of = np.where(keep_b, bi_of, -1)  # resolved: no bucket
             too_long = np.flatnonzero(bi_of >= len(buckets))
             if too_long.size:  # beyond every bucket: exact mask fallback
                 overflow_rids.extend((off + too_long).tolist())
@@ -593,6 +620,80 @@ def _kernel_dispatch(codes, sub_lens, peq2_np, m, b_pad, interpret=False,
         codes, sub_lens, peq2_np, m, interpret=interpret, b_pad=b_pad,
         mesh=mesh,
     )
+
+
+def _make_d0_scanner(pat_stack: np.ndarray, m: int):
+    """Build the per-batch host exact-adapter resolver (None if the native
+    lib is unavailable or the input has no flat-buffer view).
+
+    The returned callable scans one SeqBuffer batch, resolves every read
+    with an exact hit (writing strands/dists/locs exactly as the kernel
+    collect path would: fwd locs = exact ends ascending; rev locs =
+    (end - m + 1) - len - 1, the dist-0 SHW start being exact; both-strand
+    hits = the d1 == d2 tie => left NA), and returns the keep-mask of
+    still-unresolved reads (or None when it could not run)."""
+    try:
+        from ..native.build import load
+
+        lib = load()
+    except Exception:  # pragma: no cover - toolchain missing
+        return None
+    from ..ops.exact_prefilter import _pattern_keys
+
+    keys = _pattern_keys(pat_stack)
+    key_fwd, key_rc = int(keys[0]), int(keys[1])
+    K = 8  # per-strand end slots; cnt > K defers to the device/mask path
+    table = np.ascontiguousarray(STRICT_TABLE)
+    nthreads = _os.cpu_count() or 2
+    kar = np.arange(K)[None, :]
+
+    def scan(sb, off, strands, dists, loc_rids, loc_vals):
+        buf = getattr(sb, "buf", None)
+        offs = getattr(sb, "offs", None)
+        if buf is None or offs is None:
+            return None
+        n = len(sb)
+        offs = np.ascontiguousarray(offs, np.int64)
+        fc = np.zeros(n, np.int32)
+        rcnt = np.zeros(n, np.int32)
+        ends = np.zeros((n, 2 * K), np.int64)
+        lib.sctag_adapter_d0(
+            buf.ctypes.data, offs.ctypes.data, n, table.ctypes.data,
+            key_fwd, key_rc, m, K, nthreads,
+            fc.ctypes.data, rcnt.ctypes.data, ends.ctypes.data,
+        )
+        both = (fc > 0) & (rcnt > 0)  # d1 == d2 == 0 tie: stays NA
+        fwd_ok = (fc > 0) & (rcnt == 0) & (fc <= K)
+        rev_ok = (rcnt > 0) & (fc == 0) & (rcnt <= K)
+        fi = np.flatnonzero(fwd_ok)
+        if fi.size:
+            g = off + fi
+            strands[g] = 0
+            dists[g] = 0
+            cnts = fc[fi]
+            loc_rids.append(np.repeat(g, cnts))
+            loc_vals.append(ends[fi, :K][kar < cnts[:, None]])
+        ri = np.flatnonzero(rev_ok)
+        if ri.size:
+            g = off + ri
+            strands[g] = 1
+            dists[g] = 0
+            cnts = rcnt[ri]
+            lens_r = (offs[ri + 1] - offs[ri]).astype(np.int64)
+            e = ends[ri, K:][kar < cnts[:, None]]
+            starts = e - (m - 1)
+            loc_rids.append(np.repeat(g, cnts))
+            loc_vals.append(starts - np.repeat(lens_r, cnts) - 1)
+        resolved = both | fwd_ok | rev_ok
+        from ..utils.misc import PROF, _PROF_LOCK
+
+        with _PROF_LOCK:  # a COUNT, not seconds (bench decomposition aid)
+            PROF["scan.d0_resolved_reads"] = (
+                PROF.get("scan.d0_resolved_reads", 0.0) + float(resolved.sum())
+            )
+        return ~resolved
+
+    return scan
 
 
 def _kernel_collect(

@@ -389,6 +389,31 @@ def match_segments(
         if (tail_chunk // DEF_BR) % max(dp, 1):
             tail_chunk = PASS1_CHUNK
 
+        # dynamic sweep bound for RAGGED buckets: blocks are length-sorted,
+        # so the per-BR-block max length is tight, and the dynls kernel
+        # skips the padded rows past each block's real max (measured 1.55x
+        # on lengths 16..64, MATCH_VARIANTS ragged rows; -1.4% pure overhead
+        # on uniform buckets, so it only engages when the expected sweep
+        # fraction is <= 0.85). Single-device path only (the mesh wrappers
+        # don't carry maxlens); SCTAG_MATCH_DYNLS=0 off / 1 force / unset
+        # auto.
+        _dyn_env = os.environ.get("SCTAG_MATCH_DYNLS", "auto")
+        dyn_bucket: dict[int, bool] = {}
+        if mesh is None and _dyn_env != "0":
+            from ..ops.match_pallas import match_full_dynls_tpu
+
+            for idx, ls_b in bucket_idx:
+                ll = np.sort(lengths[idx])
+                pad = np.zeros(round_up(ll.size, DEF_BR), np.int64)
+                pad[: ll.size] = ll
+                f = pad.reshape(-1, DEF_BR).max(axis=1).mean() / ls_b
+                dyn_bucket[ls_b] = _dyn_env == "1" or f <= 0.85
+
+        def _block_maxlens(sub: np.ndarray, r_pad: int) -> np.ndarray:
+            ll = np.zeros(r_pad, np.int32)
+            ll[: sub.size] = lengths[sub]
+            return ll.reshape(1, r_pad // DEF_BR, DEF_BR).max(axis=2)
+
         def _dispatch(sub: np.ndarray, seg_codes: np.ndarray, ls: int) -> None:
             # async dispatch overlaps host work (encode/probe of the next
             # slice) with in-flight device chunks; one compiled shape per
@@ -407,6 +432,12 @@ def match_segments(
                 dev = shard_match_full(
                     mesh, jnp.asarray(seg_T), peq_j, bl, br=DEF_BR,
                     bp=DEF_BP, interpret=interp,
+                )
+            elif dyn_bucket.get(ls):
+                dev = match_full_dynls_tpu(
+                    jnp.asarray(seg_T), peq_j,
+                    jnp.asarray(_block_maxlens(sub, r_pad)), bl,
+                    interpret=interp,
                 )
             else:
                 dev = match_full_tpu(

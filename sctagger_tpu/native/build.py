@@ -19,6 +19,7 @@ _SRCS = [
     _DIR / "exact_probe.cpp",
     _DIR / "tsv_writer.cpp",
     _DIR / "range_search.cpp",
+    _DIR / "adapter_d0.cpp",
 ]
 _LIB = _DIR / "libsctag_io.so"
 
@@ -213,6 +214,21 @@ def load():
         ctypes.c_int,     # nthreads
         ctypes.c_void_p,  # out_lo (int64*)
         ctypes.c_void_p,  # out_cnt (int32*)
+    ]
+    lib.sctag_adapter_d0.restype = None
+    lib.sctag_adapter_d0.argtypes = [
+        ctypes.c_void_p,   # buf (uint8*)
+        ctypes.c_void_p,   # offs (int64*, n+1)
+        ctypes.c_int64,    # n
+        ctypes.c_void_p,   # table (256 bytes)
+        ctypes.c_uint64,   # key_fwd
+        ctypes.c_uint64,   # key_rc
+        ctypes.c_int,      # m
+        ctypes.c_int,      # kmax
+        ctypes.c_int,      # nthreads
+        ctypes.c_void_p,   # fwd_cnt (int32*)
+        ctypes.c_void_p,   # rc_cnt (int32*)
+        ctypes.c_void_p,   # ends (int64*, n x 2*kmax)
     ]
     lib.sctag_file_size.restype = ctypes.c_int64
     lib.sctag_file_size.argtypes = [ctypes.c_char_p]

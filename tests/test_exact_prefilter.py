@@ -353,6 +353,51 @@ def test_match_context_batched_parity(monkeypatch):
     assert ctx._nb_thread is not None
 
 
+@pytest.mark.parametrize("dyn_env", ["1", "auto"])
+def test_match_segments_dynls_ragged(monkeypatch, dyn_env):
+    """Ragged buckets on the single-device kernel path auto-select the
+    dynamic-sweep-bound kernel (SCTAG_MATCH_DYNLS auto rule) with output
+    identical to the jnp fallback; '1' forces it on every bucket."""
+    import sctagger_tpu.models.matcher as matcher
+    import sctagger_tpu.parallel.mesh as mesh_mod
+
+    monkeypatch.setattr(matcher, "PASS1_CHUNK", 1024)
+    monkeypatch.setattr(mesh_mod, "local_mesh", lambda *a, **k: None)
+    monkeypatch.setenv("SCTAG_MATCH_DYNLS", dyn_env)
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "1")
+    rng = np.random.default_rng(41)
+    base = [random_dna(rng, 16) for _ in range(14)]
+    segs = []
+    for r in range(2600):
+        # heavily ragged: lengths 16..64 in ONE quantile bucket ladder
+        body = random_dna(rng, int(rng.integers(16, 65)))
+        roll = rng.random()
+        if roll < 0.4 and len(body) >= 24:
+            b = base[int(rng.integers(len(base)))]
+            segs.append(body[:4] + b + body[4 + 16 :])
+        elif roll < 0.7:
+            b = list(base[int(rng.integers(len(base)))])
+            for _ in range(int(rng.integers(1, 3))):
+                b[int(rng.integers(16))] = "ACGT"[int(rng.integers(4))]
+            segs.append(body[:4] + "".join(b) + body[4:8])
+        else:
+            segs.append(body)
+
+    def run(fk):
+        r = matcher.match_segments(segs, base, max_error=2, force_kernel=fk)
+        return (
+            r.rids.tolist(),
+            r.dists.tolist(),
+            r.tie_counts.tolist(),
+            [r.ties_of(i).tolist() for i in range(r.rids.size)],
+        )
+
+    got = run(True)
+    monkeypatch.setenv("SCTAG_MATCH_DYNLS", "0")
+    ref = run(False)
+    assert got == ref
+
+
 def test_match_segments_prefilter_all_exact(monkeypatch):
     """Every read resolved by the prefilter: no device chunks at all."""
     rng = np.random.default_rng(5)

@@ -104,6 +104,30 @@ def _gen_reads(rng, n, lo=50, hi=400):
     return seqs
 
 
+def test_stream_d0_prefilter_parity(monkeypatch):
+    """The host exact-adapter (d0) prefilter must be output-invisible:
+    stream results with it on == off, on a fixture rich in exact fwd hits,
+    exact rc hits, both-strand exact ties (=> NA), many-site reads at the
+    host cap boundary, and junk reads carrying an exact hit."""
+    rng = np.random.default_rng(31)
+    reads = _gen_reads(rng, 50)
+    reads.append("AC" + ADAPTER + "T" * 9 + rev_compl(ADAPTER) + "GG")  # tie
+    reads.append((ADAPTER + "AT") * 9)  # 9 exact fwd hits > host K=8
+    reads.append("NN" + ADAPTER + "N" * 20)  # junk read, exact hit
+    reads.append("N" * 10 + rev_compl(ADAPTER))  # junk read, exact rc hit
+    batches = lambda: iter([(["x"] * len(reads), make_sb(reads))])
+
+    monkeypatch.setenv("SCTAG_ADAPTER_D0", "1")
+    _, _, on = scan_adapters_stream(batches(), ADAPTER, force_kernel=True)
+    monkeypatch.setenv("SCTAG_ADAPTER_D0", "0")
+    _, _, off = scan_adapters_stream(batches(), ADAPTER, force_kernel=True)
+    assert _flatten(on) == _flatten(off)
+    # the prefilter really resolved reads (count rides the PROF dict)
+    from sctagger_tpu.utils.misc import PROF
+
+    assert PROF.get("scan.d0_resolved_reads", 0) > 0
+
+
 def test_stream_kernel_equals_oneshot():
     rng = np.random.default_rng(77)
     b1 = _gen_reads(rng, 40)

@@ -112,9 +112,14 @@ def measure_match(n_segs: int, threads: int) -> None:
 
 
 def make_lr_fastq(path: pathlib.Path, n_reads: int, read_len: int,
-                  seed: int = 42) -> int:
+                  seed: int = 42, err_rate: float = 0.0) -> int:
     """Shared stage-1 fixture (also used by tools/bench_stages.py so both
-    sides measure the SAME workload). Returns total bp."""
+    sides measure the SAME workload). Returns total bp.
+
+    ``err_rate`` applies per-base substitutions to the planted adapter (the
+    default 0.0 keeps the historical fixture: adapters verbatim, so the
+    host d0 prefilter resolves ~100% — record the err_rate>0 rows alongside
+    for an honest device-path picture; 0.01 ~ Q20 reads => ~80% exact)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -125,7 +130,13 @@ def make_lr_fastq(path: pathlib.Path, n_reads: int, read_len: int,
             L = int(rng.integers(read_len // 2, read_len * 3 // 2))
             body = alpha[rng.integers(0, 4, size=L)].tobytes().decode()
             pos = int(rng.integers(0, 20))
-            seq = body[:pos] + ADAPTER + body[pos:]
+            ad = ADAPTER
+            if err_rate > 0.0:
+                b = bytearray(ad.encode())
+                for p in np.flatnonzero(rng.random(len(b)) < err_rate):
+                    b[p] = int(alpha[rng.integers(0, 4)])
+                ad = b.decode()
+            seq = body[:pos] + ad + body[pos:]
             total_bp += len(seq)
             f.write(f"@r{i} x\n{seq}\n+\n{'I' * len(seq)}\n")
     return total_bp

@@ -52,64 +52,95 @@ ADAPTER_OPS_PER_CHAR_STRAND = 37.0
 MICRO_OPS_PER_ITER = 20  # the Myers step chain below
 
 
-def _micro_kernel(x_ref, o_ref, *, iters: int):
+def _micro_kernel(x_ref, o_ref, *, iters: int, chains: int):
+    """``chains`` INDEPENDENT copies of the 20-op Myers carry chain per
+    iteration: the chain is latency-bound on its serial dependencies, so a
+    single copy measures instruction LATENCY; independent copies expose the
+    issue-throughput ceiling the way the real kernel's parallel eq-build/min
+    work does. The reported bound takes the max over chains."""
     import jax
     import jax.numpy as jnp
 
-    pv = x_ref[:, :]
-    mv = pv ^ 1
-    score = pv & 7
-    eq = pv >> 3
     high = jnp.int32(1 << 15)
+    state = []
+    for c in range(chains):
+        pv = x_ref[:, :] + c
+        state += [pv, pv ^ 1, pv & 7, pv >> 3]
 
     def body(j, carry):
-        pv, mv, score, eq = carry
-        # the exact production DP chain (match_pallas._myers_hw_step, hb):
-        xv = eq | mv                          # 1
-        xh = (((eq & pv) + pv) ^ pv) | eq     # 4
-        ph = mv | ~(xh | pv)                  # 3
-        mh = pv & xh                          # 1
-        score = score + (((ph & high) - (mh & high)) >> 15)  # 5
-        ph = ph << 1                          # 1
-        mh = mh << 1                          # 1
-        pv = mh | ~(xv | ph)                  # 3
-        mv = ph & xv                          # 1  -> 20 ops
-        return pv, mv, score, eq ^ pv  # rotate eq so nothing folds
-    pv, mv, score, eq = jax.lax.fori_loop(0, iters, body, (pv, mv, score, eq))
-    o_ref[:, :] = pv + score
+        out = []
+        for c in range(chains):
+            pv, mv, score, eq = carry[4 * c : 4 * c + 4]
+            # the exact production DP chain (match_pallas._myers_hw_step, hb):
+            xv = eq | mv                          # 1
+            xh = (((eq & pv) + pv) ^ pv) | eq     # 4
+            ph = mv | ~(xh | pv)                  # 3
+            mh = pv & xh                          # 1
+            score = score + (((ph & high) - (mh & high)) >> 15)  # 5
+            ph = ph << 1                          # 1
+            mh = mh << 1                          # 1
+            pv = mh | ~(xv | ph)                  # 3
+            mv = ph & xv                          # 1  -> 20 ops
+            out += [pv, mv, score, eq ^ pv]  # rotate eq so nothing folds
+        return tuple(out)
+
+    state = jax.lax.fori_loop(0, iters, body, tuple(state))
+    acc = state[0]
+    for c in range(1, chains):
+        acc = acc + state[4 * c]
+    o_ref[:, :] = acc + state[2]
 
 
-def measure_vpu_bound(bp=256, br=1024, iters=2048, grid=64, reps=4):
-    """Empirical int32 VPU op ceiling at the production block shape."""
+def measure_vpu_bound(bp=256, br=1024, iters=2048, grid=64, reps=3):
+    """Empirical int32 VPU op ceiling at the production block shape:
+    max over 1/2/4 independent chains (latency- vs throughput-bound)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    @functools.partial(jax.jit, static_argnames=("iters", "grid"))
-    def run(x, iters: int, grid: int):
-        return pl.pallas_call(
-            functools.partial(_micro_kernel, iters=iters),
-            grid=(grid,),
-            in_specs=[pl.BlockSpec((bp, br), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((bp, br), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((bp, br), jnp.int32),
-        )(x)
-
-    x = jnp.asarray(np.arange(bp * br, dtype=np.int32).reshape(bp, br))
-    np.asarray(run(x, iters, grid))  # compile + warm
     best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [run(x, iters, grid) for _ in range(4)]
-        np.asarray(outs[-1])[:1, :8]  # tiny fetch drains the queue
-        dt = time.perf_counter() - t0
-        ops = 4 * grid * iters * MICRO_OPS_PER_ITER * bp * br
-        best = max(best, ops / dt)
-    return best
+    per_chain = {}
+    for chains in (1, 2, 4, 8):
+        # halve the block sublanes as chains grow: carried VMEM state is
+        # chains * 4 arrays and must stay well under the ~16 MB VMEM budget
+        bp_c = max(8, bp // chains)
+        x = jnp.asarray(
+            np.arange(bp_c * br, dtype=np.int32).reshape(bp_c, br)
+        )
+
+        @functools.partial(jax.jit, static_argnames=("iters", "grid", "chains"))
+        def run_c(x, iters: int, grid: int, chains: int, bp_c=bp_c):
+            return pl.pallas_call(
+                functools.partial(_micro_kernel, iters=iters, chains=chains),
+                grid=(grid,),
+                in_specs=[pl.BlockSpec((bp_c, br), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((bp_c, br), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((bp_c, br), jnp.int32),
+            )(x)
+
+        try:
+            np.asarray(run_c(x, iters, grid, chains))  # compile + warm
+        except Exception as e:  # VMEM overflow at high chain counts
+            print(f"  chains={chains} (bp={bp_c}): failed ({type(e).__name__})",
+                  file=sys.stderr)
+            continue
+        cbest = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [run_c(x, iters, grid, chains) for _ in range(4)]
+            np.asarray(outs[-1])[:1, :8]  # tiny fetch drains the queue
+            dt = time.perf_counter() - t0
+            ops = 4 * grid * iters * chains * MICRO_OPS_PER_ITER * bp_c * br
+            cbest = max(cbest, ops / dt)
+        per_chain[f"{chains}x_bp{bp_c}"] = round(cbest / 1e12, 3)
+        print(f"  chains={chains} (bp={bp_c}): {cbest/1e12:.3f} T ops/s",
+              file=sys.stderr)
+        best = max(best, cbest)
+    return best, per_chain
 
 
 def measure_match_kernel(n_segs=1 << 20, reps=3):
@@ -153,7 +184,7 @@ def main() -> None:
 
     assert jax.default_backend() == "tpu", jax.default_backend()
 
-    vpu = measure_vpu_bound()
+    vpu, per_chain = measure_vpu_bound()
     print(f"empirical VPU int32 bound: {vpu/1e12:.3f} T ops/s", file=sys.stderr)
 
     segs_s, p_pad, ls = measure_match_kernel()
@@ -179,9 +210,12 @@ def main() -> None:
     out = {
         "date": time.strftime("%Y-%m-%d"),
         "vpu_int32_bound_tops": round(vpu / 1e12, 3),
+        "bound_by_chains": per_chain,
         "bound_note": (
-            "empirical: 20-op Myers carry chain on (256,1024) int32 VMEM "
-            "registers, no memory traffic — the achievable ceiling for this "
+            "empirical: N independent 20-op Myers carry chains on "
+            "int32 VMEM registers (sublanes scaled down as N grows), no "
+            "memory traffic — max over N in {1,2,4,8} (1 chain latency-bound; independent chains "
+            "expose issue throughput). The achievable ceiling for this "
             "chip+compiler, not a spec-sheet number"
         ),
         "match": {
