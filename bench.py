@@ -34,7 +34,17 @@ REF_SEGS_PER_SEC_1T = 15.8
 REF_THREADS = 32  # Snakefile:130 resource envelope (ideal linear scaling)
 
 
-def make_inputs(n_segs: int, n_barcodes: int = 25_000, seed: int = 0):
+def make_inputs(n_segs: int, n_barcodes: int = 25_000, seed: int = 0,
+                indels: bool | None = None):
+    """Synthetic flagship workload: planted barcodes with 0-2 edits drawn
+    uniformly. Default edits are SUBSTITUTION-ONLY (the historical headline
+    distribution; segments stay uniformly 24bp). ``indels`` (or
+    SCTAG_BENCH_INDELS=1) draws each edit uniformly from
+    {substitution, deletion, insertion} instead — ragged 22-26bp segments,
+    the harder distribution (recorded alongside the headline in CLAUDE.md).
+    """
+    if indels is None:
+        indels = os.environ.get("SCTAG_BENCH_INDELS", "0") == "1"
     rng = np.random.default_rng(seed)
     alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
     # unique barcodes
@@ -54,11 +64,17 @@ def make_inputs(n_segs: int, n_barcodes: int = 25_000, seed: int = 0):
         pre = alpha[rng.integers(0, 4, size=4)].tobytes().decode()
         post = alpha[rng.integers(0, 4, size=4)].tobytes().decode()
         bc = barcodes[bc_idx[i]]
-        # cheap mutation: substitute err positions
         if errs[i]:
             b = bytearray(bc.encode())
-            for p in rng.integers(0, 16, size=errs[i]):
-                b[p] = alpha[rng.integers(0, 4)]
+            for _ in range(errs[i]):
+                op = rng.integers(0, 3) if indels else 0
+                p = int(rng.integers(0, len(b)))
+                if op == 0:
+                    b[p] = alpha[rng.integers(0, 4)]
+                elif op == 1 and len(b) > 1:
+                    del b[p]
+                else:
+                    b.insert(p, alpha[rng.integers(0, 4)])
             bc = b.decode()
         segs.append(pre + bc + post)
     return segs, barcodes

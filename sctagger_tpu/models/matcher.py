@@ -456,25 +456,76 @@ def match_segments(
         # waste a full device chunk; with d1 off it ships whole unprobed
         # (the r3-measured optimum for the dist-0-only probe: 90.0 -> 99.1K
         # segs/s, 2026-08-20; d1 A/B rows in the CLAUDE.md perf log).
+        #
+        # Host pipeline: encode+probe of slice i+1 runs on a WORKER thread
+        # (native encode and the bucketed range search both release the
+        # GIL) while the main thread applies slice i's probe result,
+        # repacks, and dispatches — the two host phases and the device all
+        # overlap instead of serializing on the main thread. Probe results
+        # are APPLIED strictly in slice order on the main thread, so
+        # min_dist/exact_pairs mutation order (and thus output) is
+        # identical to the serial form.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        slices: list[tuple[np.ndarray, int, str]] = []
         first_slice = True
         for idx, ls in bucket_idx:
+            for s, e in batch_iter(idx.size, PASS1_CHUNK):
+                if prefilter and (d1 or probe_first or not first_slice):
+                    mode = (
+                        "exact"
+                        if (first_slice and d1 and not probe_first)
+                        else "full"
+                    )
+                else:
+                    mode = "none"
+                slices.append((idx[s:e], ls, mode))
+                first_slice = False
+
+        def _prep(sub: np.ndarray, ls: int, mode: str):
+            seg_codes = _encode(sub, ls)
+            if mode == "exact":
+                return seg_codes, exact_tie_probe(
+                    seg_codes, lengths[sub], pat_codes
+                )
+            if mode == "full":
+                return seg_codes, _probe(seg_codes, lengths[sub])
+            return seg_codes, None
+
+        prep_pool = ThreadPoolExecutor(1)
+        prep_q: deque = deque()
+        PREP_DEPTH = 2
+        try:
+            nxt = 0
+            while nxt < min(PREP_DEPTH, len(slices)):
+                prep_q.append(prep_pool.submit(_prep, *slices[nxt]))
+                nxt += 1
+            cur_ls = None
             carry_sub: list[np.ndarray] = []
             carry_codes: list[np.ndarray] = []
             carry_n = 0
-            for s, e in batch_iter(idx.size, PASS1_CHUNK):
-                sub = idx[s:e]
-                seg_codes = _encode(sub, ls)
-                if prefilter and (d1 or probe_first or not first_slice):
-                    keep = _take_exact(
-                        sub,
-                        exact_tie_probe(seg_codes, lengths[sub], pat_codes)
-                        if (first_slice and d1 and not probe_first)
-                        else _probe(seg_codes, lengths[sub]),
-                    )
+
+            def _flush() -> None:
+                nonlocal carry_sub, carry_codes, carry_n
+                if carry_n:
+                    _dispatch(np.concatenate(carry_sub),
+                              np.concatenate(carry_codes), cur_ls)
+                carry_sub, carry_codes, carry_n = [], [], 0
+
+            for j, (sub, ls, mode) in enumerate(slices):
+                seg_codes, ex = prep_q.popleft().result()
+                if nxt < len(slices):
+                    prep_q.append(prep_pool.submit(_prep, *slices[nxt]))
+                    nxt += 1
+                if ex is not None:
+                    keep = _take_exact(sub, ex)
                     if keep is not None:
                         sub = sub[keep]
                         seg_codes = seg_codes[keep]
-                first_slice = False
+                if ls != cur_ls:
+                    _flush()  # bucket boundary: same per-bucket semantics
+                    cur_ls = ls
                 carry_sub.append(sub)
                 carry_codes.append(seg_codes)
                 carry_n += sub.size
@@ -488,9 +539,9 @@ def match_segments(
                         codes_all = codes_all[PASS1_CHUNK:]
                     carry_sub, carry_codes = [sub_all], [codes_all]
                     carry_n = sub_all.size
-            if carry_n:
-                _dispatch(np.concatenate(carry_sub),
-                          np.concatenate(carry_codes), ls)
+            _flush()
+        finally:
+            prep_pool.shutdown(wait=False, cancel_futures=True)
         _drain(0)
     else:
         # jnp fallback (CPU backends, or multi-word barcodes). On a TPU

@@ -59,7 +59,28 @@ def main() -> int:
     if proc.returncode != 0:
         record["stdout_tail"] = proc.stdout[-4000:]
         record["stderr_tail"] = proc.stderr[-2000:]
-    (REPO / "TPU_SUITE.json").write_text(json.dumps(record, indent=1) + "\n")
+    # merge under a subset key (SCTAG_SUITE_KEY, default "golden" for the
+    # curated stage subset / "kernels" when kernel files are passed) so the
+    # golden-stage and compiled-kernel hardware records coexist
+    key = os.environ.get(
+        "SCTAG_SUITE_KEY",
+        "kernels" if any("pallas" in a or "myers" in a for a in args)
+        else "golden",
+    )
+    out = REPO / "TPU_SUITE.json"
+    data = {}
+    if out.exists():
+        try:
+            old = json.loads(out.read_text())
+            # legacy single-record layout: keep it under its natural key
+            data = old if "ok" not in old else {
+                ("kernels" if any("pallas" in f for f in old.get("files", []))
+                 else "golden"): old
+            }
+        except Exception:
+            data = {}
+    data[key] = record
+    out.write_text(json.dumps(data, indent=1) + "\n")
     print(json.dumps(record))
     return proc.returncode
 
