@@ -34,21 +34,61 @@ from ..core.packing import (
 from ..utils import full_fast
 
 
-def build_key_table(words_fwd: list[str], words_rc: list[str]):
+def _revcomp_keys(keys: np.ndarray, k: int) -> np.ndarray:
+    """Numeric reverse-complement of 2-bit-packed keys (A=0,C=1,G=2,T=3, so
+    complement = 3 - code = code ^ 3): reverse the 2-bit groups with the
+    O(log w) swap ladder, realign, and XOR the complement mask. Replaces
+    building 3M rc *strings* + re-encoding them (~13 s at the 10x whitelist
+    scale, the alt-stage prep wall — VERDICT r3 #8 follow-up)."""
+    assert k <= 16, k
+    y = keys.astype(np.uint32)
+    m = np.uint32
+    y = ((y & m(0x33333333)) << m(2)) | ((y >> m(2)) & m(0x33333333))
+    y = ((y & m(0x0F0F0F0F)) << m(4)) | ((y >> m(4)) & m(0x0F0F0F0F))
+    y = ((y & m(0x00FF00FF)) << m(8)) | ((y >> m(8)) & m(0x00FF00FF))
+    y = (y << m(16)) | (y >> m(16))
+    y >>= m(32 - 2 * k)
+    return y ^ m((1 << (2 * k)) - 1)
+
+
+def _encode_uniform(words: list[str], k: int) -> np.ndarray:
+    """(n, k) STRICT codes via ONE join + LUT instead of a per-string Python
+    loop; raises ValueError on ragged/non-1-byte input (callers fall back)."""
+    blob = "".join(words).encode("latin-1", errors="strict")
+    if len(blob) != len(words) * k:
+        raise ValueError("ragged whitelist; use host fallback")
+    return STRICT_TABLE[np.frombuffer(blob, np.uint8)].reshape(len(words), k)
+
+
+def build_key_table(words_fwd: list[str], words_rc: list[str] | None = None):
     """Pack fwd (values +i) then rc (values -i) words; later entries win.
 
     Returns (sorted_keys uint32, values int64). Raises ValueError if any word
     is not pure uppercase ACGT of uniform length <= 16 (callers fall back to
-    the host dict path).
+    the host dict path). ``words_rc=None`` (the production stage) derives the
+    rc keys numerically from the fwd keys — no rc strings are ever built.
     """
     n = len(words_fwd)
     k = len(words_fwd[0]) if n else 0
-    all_words = words_fwd + words_rc
-    codes, lens = encode_seqs(all_words, pad_to=k, table=STRICT_TABLE)
-    if (lens != k).any() or (codes > 3).any():
-        raise ValueError("non-ACGT or ragged whitelist; use host fallback")
-    keys, _ = pack_kmers_from_codes(codes, lens, k)
-    keys = keys[:, 0]
+    if n == 0 or k == 0 or k > 16:
+        raise ValueError("empty or overlong whitelist; use host fallback")
+    if words_rc is None:
+        try:
+            codes = _encode_uniform(words_fwd, k)
+        except UnicodeEncodeError:
+            raise ValueError("non-latin-1 whitelist; use host fallback")
+        if (codes > 3).any():
+            raise ValueError("non-ACGT whitelist; use host fallback")
+        lens = np.full(n, k, np.int64)
+        fwd_keys, _ = pack_kmers_from_codes(codes, lens, k)
+        keys = np.concatenate([fwd_keys[:, 0], _revcomp_keys(fwd_keys[:, 0], k)])
+    else:
+        all_words = words_fwd + words_rc
+        codes, lens = encode_seqs(all_words, pad_to=k, table=STRICT_TABLE)
+        if (lens != k).any() or (codes > 3).any():
+            raise ValueError("non-ACGT or ragged whitelist; use host fallback")
+        keys, _ = pack_kmers_from_codes(codes, lens, k)
+        keys = keys[:, 0]
     values = np.concatenate(
         [np.arange(n, dtype=np.int64), -np.arange(n, dtype=np.int64)]
     )

@@ -41,8 +41,6 @@ def _run(args, stats) -> None:
     infile.close()
     stats.count("whitelist", len(barcodes))
 
-    barcodes_rc = [rev_compl(b) for b in barcodes]
-
     print(f"\n=====\nMatching exact barcodes on long-reads: {args.input}")
     with stats.timer("read_lr_tsv"):
         if multi:
@@ -69,7 +67,9 @@ def _run(args, stats) -> None:
     stats.count("segments", len(segments))
 
     try:
-        sorted_keys, values = build_key_table(barcodes, barcodes_rc)
+        # rc keys derived numerically inside build_key_table: no rc strings
+        # (was ~13s of per-string Python at the 3M-row 10x whitelist scale)
+        sorted_keys, values = build_key_table(barcodes)
 
         def _probe(batch):
             return probe_segments(
@@ -77,6 +77,7 @@ def _run(args, stats) -> None:
             )
     except ValueError:
         print("whitelist not uniform ACGT; using host fallback", file=sys.stderr)
+        barcodes_rc = [rev_compl(b) for b in barcodes]
 
         def _probe(batch):
             return host_dict_fallback(batch, barcodes, barcodes_rc)
