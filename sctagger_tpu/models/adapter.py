@@ -379,7 +379,8 @@ def scan_adapters_stream(
     rnames: list[str] = []
     chain = ChainSeqBuffer()
     if not use_kernel:
-        for names, sb in batches:
+        for item in batches:
+            names, sb = item[0], item[1]  # optional 3rd: producer d0 raw
             rnames.extend(names)
             chain.append(sb)
         return rnames, chain, scan_adapters(chain, adapter, progress=progress)
@@ -469,7 +470,12 @@ def scan_adapters_stream(
         _pump(block=False)
 
     try:
-        for names, sb in batches:
+        for item in batches:
+            # 3rd element (optional): d0 raw scan computed on the parse
+            # producer thread (stage driver) — bytes were hot there and the
+            # probe stops competing with encode/dispatch for the consumer
+            names, sb = item[0], item[1]
+            d0_raw = item[2] if len(item) > 2 else None
             rnames.extend(names)
             off = len(chain)
             chain.append(sb)
@@ -488,8 +494,10 @@ def scan_adapters_stream(
             keep_b = None
             if d0_scan is not None:
                 with prof_timer("scan.d0probe"):
-                    keep_b = d0_scan(
-                        sb, off, strands, dists, loc_rids, loc_vals
+                    keep_b = d0_scan.apply(
+                        sb,
+                        d0_raw if d0_raw is not None else d0_scan.raw(sb),
+                        off, strands, dists, loc_rids, loc_vals,
                     )
                 if keep_b is not None and progress:
                     nres = int(len(sb) - keep_b.sum())
@@ -622,32 +630,32 @@ def _kernel_dispatch(codes, sub_lens, peq2_np, m, b_pad, interpret=False,
     )
 
 
-def _make_d0_scanner(pat_stack: np.ndarray, m: int):
-    """Build the per-batch host exact-adapter resolver (None if the native
-    lib is unavailable or the input has no flat-buffer view).
+class _D0Scanner:
+    """Host exact-adapter resolver, split so the RAW scan (the byte pass)
+    can run on the FASTQ-parse producer thread while the bytes are hot —
+    the apply half (tiny numpy on hit subsets) stays on the consumer.
 
-    The returned callable scans one SeqBuffer batch, resolves every read
-    with an exact hit (writing strands/dists/locs exactly as the kernel
-    collect path would: fwd locs = exact ends ascending; rev locs =
+    ``raw(sb)`` scans one SeqBuffer batch -> (fwd_cnt, rc_cnt, ends) or
+    None (no flat-buffer view). ``apply(sb, raw, off, ...)`` resolves every
+    read with an exact hit (writing strands/dists/locs exactly as the
+    kernel collect path would: fwd locs = exact ends ascending; rev locs =
     (end - m + 1) - len - 1, the dist-0 SHW start being exact; both-strand
-    hits = the d1 == d2 tie => left NA), and returns the keep-mask of
-    still-unresolved reads (or None when it could not run)."""
-    try:
-        from ..native.build import load
+    hits = the d1 == d2 tie => left NA) and returns the keep-mask of
+    still-unresolved reads. Calling the scanner does both."""
 
-        lib = load()
-    except Exception:  # pragma: no cover - toolchain missing
-        return None
-    from ..ops.exact_prefilter import _pattern_keys
-
-    keys = _pattern_keys(pat_stack)
-    key_fwd, key_rc = int(keys[0]), int(keys[1])
     K = 8  # per-strand end slots; cnt > K defers to the device/mask path
-    table = np.ascontiguousarray(STRICT_TABLE)
-    nthreads = _os.cpu_count() or 2
-    kar = np.arange(K)[None, :]
 
-    def scan(sb, off, strands, dists, loc_rids, loc_vals):
+    def __init__(self, lib, pat_stack: np.ndarray, m: int):
+        from ..ops.exact_prefilter import _pattern_keys
+
+        self.lib = lib
+        keys = _pattern_keys(pat_stack)
+        self.key_fwd, self.key_rc = int(keys[0]), int(keys[1])
+        self.m = m
+        self.table = np.ascontiguousarray(STRICT_TABLE)
+        self.nthreads = _os.cpu_count() or 2
+
+    def raw(self, sb):
         buf = getattr(sb, "buf", None)
         offs = getattr(sb, "offs", None)
         if buf is None or offs is None:
@@ -656,12 +664,20 @@ def _make_d0_scanner(pat_stack: np.ndarray, m: int):
         offs = np.ascontiguousarray(offs, np.int64)
         fc = np.zeros(n, np.int32)
         rcnt = np.zeros(n, np.int32)
-        ends = np.zeros((n, 2 * K), np.int64)
-        lib.sctag_adapter_d0(
-            buf.ctypes.data, offs.ctypes.data, n, table.ctypes.data,
-            key_fwd, key_rc, m, K, nthreads,
+        ends = np.zeros((n, 2 * self.K), np.int64)
+        self.lib.sctag_adapter_d0(
+            buf.ctypes.data, offs.ctypes.data, n, self.table.ctypes.data,
+            self.key_fwd, self.key_rc, self.m, self.K, self.nthreads,
             fc.ctypes.data, rcnt.ctypes.data, ends.ctypes.data,
         )
+        return fc, rcnt, ends, offs
+
+    def apply(self, sb, raw, off, strands, dists, loc_rids, loc_vals):
+        if raw is None:
+            return None
+        fc, rcnt, ends, offs = raw
+        K, m = self.K, self.m
+        kar = np.arange(K)[None, :]
         both = (fc > 0) & (rcnt > 0)  # d1 == d2 == 0 tie: stays NA
         fwd_ok = (fc > 0) & (rcnt == 0) & (fc <= K)
         rev_ok = (rcnt > 0) & (fc == 0) & (rcnt <= K)
@@ -693,7 +709,36 @@ def _make_d0_scanner(pat_stack: np.ndarray, m: int):
             )
         return ~resolved
 
-    return scan
+    def __call__(self, sb, off, strands, dists, loc_rids, loc_vals):
+        return self.apply(
+            sb, self.raw(sb), off, strands, dists, loc_rids, loc_vals
+        )
+
+
+def _make_d0_scanner(pat_stack: np.ndarray, m: int):
+    """_D0Scanner or None if the native lib is unavailable."""
+    try:
+        from ..native.build import load
+
+        lib = load()
+    except Exception:  # pragma: no cover - toolchain missing
+        return None
+    return _D0Scanner(lib, pat_stack, m)
+
+
+def make_d0_scanner(adapter: str):
+    """Producer-side d0 scanner for the stage driver (None when disabled by
+    SCTAG_ADAPTER_D0=0, the adapter exceeds one packed word, or the native
+    lib is missing) — the SAME gating scan_adapters_stream applies, so a
+    producer-attached raw result is always consumed."""
+    m = len(adapter)
+    if m > 32 or _os.environ.get("SCTAG_ADAPTER_D0", "1") != "1":
+        return None
+    pat_stack = np.stack([
+        encode_str(adapter, STRICT_TABLE),
+        encode_str(rev_compl(adapter), STRICT_TABLE),
+    ])
+    return _make_d0_scanner(pat_stack, m)
 
 
 def _kernel_collect(

@@ -112,6 +112,14 @@ def _run_stream(args, stats):
                 continue
         return False
 
+    # the d0 exact-adapter RAW scan runs here on the producer thread: the
+    # batch bytes are cache-hot right after the parse, and the probe stops
+    # competing with encode/dispatch/collect on the consumer core (the
+    # apply half — tiny numpy on the hit subsets — stays with the model)
+    from ..models.adapter import make_d0_scanner
+
+    d0 = make_d0_scanner(args.short_read_adapter)
+
     def _produce():
         # time the parse itself, not the q.put backpressure wait (the queue
         # fills whenever the consumer is the bottleneck; counting that wait
@@ -122,6 +130,9 @@ def _run_stream(args, stats):
                 while True:
                     with prof_timer("stage.read_fastq"):
                         b = next(it, None)
+                    if b is not None and d0 is not None:
+                        with prof_timer("scan.d0probe"):
+                            b = (b[0], b[1], d0.raw(b[1]))
                     if not _put(b) or b is None:
                         return
             finally:
