@@ -117,6 +117,31 @@ def test_stage2alt_fuzz_parity(tmp_path, round_i):
     )
 
 
+def test_numeric_rc_keys_match_explicit_strings():
+    """build_key_table(words) with numerically derived rc keys must produce
+    IDENTICAL (sorted_keys, values) to the explicit rc-strings path — over
+    several k, with duplicate words, rc collisions, and self-rc words (the
+    keep-last duplicate semantics must break ties the same way)."""
+    import numpy as np
+
+    from sctagger_tpu.core.packing import rev_compl
+    from sctagger_tpu.ops.exact_lookup import build_key_table
+
+    from oracle import random_dna
+
+    rng = np.random.default_rng(3)
+    for k in (1, 4, 8, 12, 15, 16):
+        bcs = [random_dna(rng, k) for _ in range(3000)]
+        bcs[7] = bcs[3]  # duplicate word
+        bcs[9] = rev_compl(bcs[5])  # rc collision across words
+        if k % 2 == 0:
+            bcs[11] = "AT" * (k // 2)  # self-rc word
+        a_keys, a_vals = build_key_table(bcs)
+        b_keys, b_vals = build_key_table(bcs, [rev_compl(b) for b in bcs])
+        np.testing.assert_array_equal(a_keys, b_keys)
+        np.testing.assert_array_equal(a_vals, b_vals)
+
+
 def test_host_probe_matches_device_probe(monkeypatch):
     """The native C++ hash probe (default backend, exact_probe.cpp) agrees
     with the device binary-search probe on fuzz segments incl. non-ACGT
