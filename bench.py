@@ -89,9 +89,11 @@ def main():
         sys.exit(tpu_parity.main([a for a in sys.argv[1:] if a != "--verify"]))
     # default = sustained scale (8 chunk-multiples): chunk-count quantization
     # (every device chunk pads to the fixed PASS1_CHUNK kernel shape) and the
-    # exact-prefilter's chunk savings both amortize here, matching the perf
-    # log's 1M sustained rows. A/B at this size 2026-08-20: prefilter on
-    # 99,099 segs/s vs off 65,027 (both recorded in CLAUDE.md).
+    # prefilter's chunk savings both amortize here, matching the perf log's
+    # 1M sustained rows. A/B at this size 2026-08-20: dist<=1 prefilter +
+    # prep pipeline 130,310 segs/s / dist-0-only 101,027 / prefilter fully
+    # off 65,027 (all recorded in CLAUDE.md; SCTAG_BENCH_INDELS=1 runs the
+    # harder sub/del/ins workload, recorded at 95,568).
     n_segs = int(os.environ.get("SCTAG_BENCH_SEGS", 1_048_576))
     from sctagger_tpu.runtime import configure_jax
 
@@ -157,7 +159,8 @@ def _stage_rates():
     ours = _load("BENCH_STAGES.json")
     ref = _load("REF_MEASURED.json")
     out = {}
-    for s in ("lr", "lr_sustained", "sr", "alt", "alt_device"):
+    for s in ("lr", "lr_sustained", "lr_sustained_q20", "sr", "alt",
+              "alt_device", "alt_3m", "alt_device_3m"):
         if s not in ours:
             continue
         e = {
@@ -169,8 +172,13 @@ def _stage_rates():
         }
         if "phases_s" in ours[s]:
             e["phases_s"] = ours[s]["phases_s"]
+        if "d0_resolved_frac" in ours[s]:
+            e["d0_resolved_frac"] = ours[s]["d0_resolved_frac"]
         # variant rows share their base stage's reference baseline
-        rs = {"alt_device": "alt", "lr_sustained": "lr"}.get(s, s)
+        rs = {
+            "alt_device": "alt", "alt_3m": "alt", "alt_device_3m": "alt",
+            "lr_sustained": "lr", "lr_sustained_q20": "lr",
+        }.get(s, s)
         if rs in ref:
             if rs == "lr":
                 # stage-1 envelope: 32 threads (Snakefile:84-87), ideal scaling
