@@ -115,10 +115,18 @@ def _run_stream(args, stats):
     # the d0 exact-adapter RAW scan runs here on the producer thread: the
     # batch bytes are cache-hot right after the parse, and the probe stops
     # competing with encode/dispatch/collect on the consumer core (the
-    # apply half — tiny numpy on the hit subsets — stays with the model)
+    # apply half — tiny numpy on the hit subsets — stays with the model).
+    # TPU backend only: on CPU backends scan_adapters_stream delegates to
+    # the one-shot path and would discard the raw results unread.
+    import jax
+
     from ..models.adapter import make_d0_scanner
 
-    d0 = make_d0_scanner(args.short_read_adapter)
+    d0 = (
+        make_d0_scanner(args.short_read_adapter)
+        if jax.default_backend() == "tpu"
+        else None
+    )
 
     def _produce():
         # time the parse itself, not the q.put backpressure wait (the queue
