@@ -716,7 +716,12 @@ class _D0Scanner:
 
 
 def _make_d0_scanner(pat_stack: np.ndarray, m: int):
-    """_D0Scanner or None if the native lib is unavailable."""
+    """_D0Scanner or None if the native lib is unavailable or the adapter is
+    not pure uppercase ACGT (a junk char can never match exactly under the
+    STRICT alphabet, so the kernel path must handle such adapters — the
+    packed keys cannot represent them)."""
+    if (pat_stack > 3).any():
+        return None
     try:
         from ..native.build import load
 

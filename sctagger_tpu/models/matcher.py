@@ -113,6 +113,11 @@ class MatchContext:
         self._nb_lock = threading.Lock()
         self._nb_thread = None
         self._nb_box: dict = {}
+        # dynls decision pinned per bucket after the first kernel-path call:
+        # per-batch refits could flip a bucket between the dynls and fixed
+        # kernels (two compiled programs for one shape, ~3.5 min each on
+        # axon) when a batch's raggedness straddles the threshold
+        self._dyn_bucket: dict[int, bool] | None = None
 
     def peq(self):
         return self._peq
@@ -402,12 +407,19 @@ def match_segments(
         if mesh is None and _dyn_env != "0":
             from ..ops.match_pallas import match_full_dynls_tpu
 
+            if ctx._dyn_bucket is not None:
+                # pinned by an earlier batched call: never flip a bucket's
+                # kernel choice mid-run (each flip is a fresh compile)
+                dyn_bucket = dict(ctx._dyn_bucket)
             for idx, ls_b in bucket_idx:
+                if ls_b in dyn_bucket:
+                    continue
                 ll = np.sort(lengths[idx])
                 pad = np.zeros(round_up(ll.size, DEF_BR), np.int64)
                 pad[: ll.size] = ll
                 f = pad.reshape(-1, DEF_BR).max(axis=1).mean() / ls_b
                 dyn_bucket[ls_b] = _dyn_env == "1" or f <= 0.85
+            ctx._dyn_bucket = dict(dyn_bucket)
 
         def _block_maxlens(sub: np.ndarray, r_pad: int) -> np.ndarray:
             ll = np.zeros(r_pad, np.int32)

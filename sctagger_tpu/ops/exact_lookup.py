@@ -53,10 +53,16 @@ def _revcomp_keys(keys: np.ndarray, k: int) -> np.ndarray:
 
 def _encode_uniform(words: list[str], k: int) -> np.ndarray:
     """(n, k) STRICT codes via ONE join + LUT instead of a per-string Python
-    loop; raises ValueError on ragged/non-1-byte input (callers fall back)."""
-    blob = "".join(words).encode("latin-1", errors="strict")
-    if len(blob) != len(words) * k:
+    loop; raises ValueError on ragged/non-1-byte input (callers fall back).
+
+    Uniformity must be checked PER WORD: a ragged list whose lengths merely
+    sum to n*k (e.g. 8+14+2 with k=8) would otherwise mis-split silently
+    into wrong keys instead of reaching the host-dict fallback."""
+    if any(len(w) != k for w in words):
         raise ValueError("ragged whitelist; use host fallback")
+    blob = "".join(words).encode("latin-1", errors="strict")
+    if len(blob) != len(words) * k:  # multi-byte chars slipped through
+        raise ValueError("non-1-byte whitelist; use host fallback")
     return STRICT_TABLE[np.frombuffer(blob, np.uint8)].reshape(len(words), k)
 
 

@@ -207,8 +207,9 @@ def _extract_multi(args, n_hosts: int):
     before scanning. Records spanning a shard boundary belong to the shard
     where they START; host h > 0 discovers its first record boundary by
     self-synchronizing record-chain validation (bam_reader.cpp
-    find_record_start: candidate offsets are accepted only when a 64-record
-    chain of block_size/refID/l_read_name/l_seq/name-NUL checks validates),
+    find_record_start: candidate offsets are accepted only when an 8-record
+    chain of block_size/refID/l_read_name/l_seq/name-NUL checks validates —
+    short chains that merely run off the probe window are rejected),
     then RECONCILES the discovered offset against the authoritative spill
     from host h-1 once it arrives. On a mismatch — or when self-sync finds
     no boundary (a record larger than the probe window) — the host rescans
@@ -228,7 +229,7 @@ def _extract_multi(args, n_hosts: int):
     import json
     import time
 
-    from ..io.bam import SelfSyncError, bam_file_size
+    from ..io.bam import bam_file_size
     from ..parallel.multihost import make_host_group
 
     h = args.host_id
@@ -250,7 +251,11 @@ def _extract_multi(args, n_hosts: int):
                 args.input, bounds[h], bounds[h + 1], -1, parse_header=False
             )
             found = scan[6]
-        except SelfSyncError:
+        except RuntimeError:
+            # SelfSyncError (no boundary validated) OR any downstream parse
+            # error from a falsely-accepted boundary: the speculative scan
+            # is best-effort — output bytes must never depend on it, so
+            # every failure routes to the authoritative-skip rescan below
             scan, found = None, None
     t1 = time.monotonic()
     group.put_bytes(

@@ -58,6 +58,19 @@ def _render_rows(result, names, segs, barcodes, rid_offset: int = 0) -> str:
     return "".join(out)
 
 
+def _ascii_batch(names, s: int, e: int, seg_b) -> bool:
+    """True iff the batch's names and segment bytes are pure ASCII (then the
+    native latin-1 part bytes decode identically under load_text's UTF-8)."""
+    if not all(n.isascii() for n in names[s:e]):
+        return False
+    buf = getattr(seg_b, "buf", None)
+    offs = getattr(seg_b, "offs", None)
+    if buf is None or offs is None or len(seg_b) == 0:
+        return buf is not None
+    lo, hi = int(offs[0]), int(offs[-1])
+    return not bool((buf[lo:hi] > 127).any())
+
+
 def _run(args, stats) -> None:
     barcodes = read_sr_barcodes_tsv(args.short_read_barcodes)
     print(f"There are {len(barcodes):,} SR barcodes", file=sys.stderr)
@@ -149,7 +162,12 @@ def _run(args, stats) -> None:
                         stats.count("batches_skipped")
                     else:
                         seg_b = segs[s:e]
-                        ok = store.save_file(
+                        # ASCII guard: part files are read back with
+                        # load_text (UTF-8); the native writer emits raw
+                        # latin-1 bytes, which only coincide for ASCII —
+                        # non-ASCII names/segments (out-of-spec FASTQ) take
+                        # the Python text path instead of crashing resume
+                        ok = _ascii_batch(names, s, e, seg_b) and store.save_file(
                             bi, "tsv",
                             lambda p: write_match_tsv_native(
                                 p, names[s:e], seg_b, barcodes, result

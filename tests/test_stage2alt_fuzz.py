@@ -142,6 +142,25 @@ def test_numeric_rc_keys_match_explicit_strings():
         np.testing.assert_array_equal(a_vals, b_vals)
 
 
+def test_ragged_whitelist_sum_multiple_falls_back():
+    """Regression (r4 review): a ragged whitelist whose lengths SUM to a
+    multiple of the first word's length (8+14+2 = 3*8) must still raise
+    ValueError (-> host-dict fallback), not silently mis-split into wrong
+    keys."""
+    import pytest
+
+    from sctagger_tpu.ops.exact_lookup import build_key_table
+
+    with pytest.raises(ValueError):
+        build_key_table(["ACGTACGT", "ACGTACGTACGTAC", "GT"])
+    # and through the words_rc-given path too
+    from sctagger_tpu.core.packing import rev_compl
+
+    words = ["ACGTACGT", "ACGTACGTACGTAC", "GT"]
+    with pytest.raises(ValueError):
+        build_key_table(words, [rev_compl(w) for w in words])
+
+
 def test_host_probe_matches_device_probe(monkeypatch):
     """The native C++ hash probe (default backend, exact_probe.cpp) agrees
     with the device binary-search probe on fuzz segments incl. non-ACGT

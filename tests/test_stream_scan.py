@@ -128,6 +128,27 @@ def test_stream_d0_prefilter_parity(monkeypatch):
     assert PROF.get("scan.d0_resolved_reads", 0) > 0
 
 
+def test_d0_scanner_declines_non_acgt_adapter(monkeypatch):
+    """Regression (r4 review): an adapter with a non-ACGT char must DISABLE
+    the d0 prefilter (the packed keys cannot represent it), not crash —
+    stage 1 with such an adapter runs the kernel path where the junk char
+    simply never matches."""
+    from sctagger_tpu.models.adapter import make_d0_scanner
+
+    monkeypatch.setenv("SCTAG_ADAPTER_D0", "1")
+    assert make_d0_scanner("CTACACGACGCTNTTCCGATCT") is None
+    assert make_d0_scanner("ctacacgacgctcttccgatct") is None  # lowercase
+    assert make_d0_scanner(ADAPTER) is not None
+    # and the stream scan runs end to end with the junk adapter
+    rng = np.random.default_rng(13)
+    reads = [random_dna(rng, 60) for _ in range(50)]
+    _, _, res = scan_adapters_stream(
+        iter([(["x"] * len(reads), make_sb(reads))]),
+        "CTACACGACGCTNTTCCGATCT", force_kernel=True,
+    )
+    assert res.dists.shape[0] == len(reads)
+
+
 def test_stream_kernel_equals_oneshot():
     rng = np.random.default_rng(77)
     b1 = _gen_reads(rng, 40)

@@ -49,7 +49,7 @@ HERE = pathlib.Path(__file__).resolve().parent.parent
 
 MATCH_OPS_PER_CELL_CHAR = 25.1
 ADAPTER_OPS_PER_CHAR_STRAND = 37.0
-MICRO_OPS_PER_ITER = 20  # the Myers step chain below
+MICRO_OPS_PER_ITER = 21  # 20-op Myers chain + the eq^pv rotation
 
 
 def _micro_kernel(x_ref, o_ref, *, iters: int, chains: int):
@@ -81,7 +81,7 @@ def _micro_kernel(x_ref, o_ref, *, iters: int, chains: int):
             mh = mh << 1                          # 1
             pv = mh | ~(xv | ph)                  # 3
             mv = ph & xv                          # 1  -> 20 ops
-            out += [pv, mv, score, eq ^ pv]  # rotate eq so nothing folds
+            out += [pv, mv, score, eq ^ pv]  # rotation: the 21st op/iter
         return tuple(out)
 
     state = jax.lax.fori_loop(0, iters, body, tuple(state))
