@@ -95,8 +95,14 @@ class MatchContext:
     distribution shifts (Snakefile:121-134 resume contract without extra
     ~3.5-minute remote compiles)."""
 
-    def __init__(self, barcodes: Sequence[str], buckets=None):
+    def __init__(self, barcodes: Sequence[str], buckets=None,
+                 pipelined: bool = False):
         self.barcodes = list(barcodes)
+        # True when the caller overlaps two match_segments calls on this ctx
+        # (match_trie's two-deep batch pipeline): each call then halves its
+        # in-flight device-chunk budget so total pending chunks match the
+        # tuned single-call pipeline instead of doubling HBM/host pressure
+        self.pipelined = bool(pipelined)
         self.bl = len(self.barcodes[0])
         self.pat_codes = _build_patterns(self.barcodes, self.bl)
         self.buckets = list(buckets) if buckets is not None else None
@@ -111,6 +117,7 @@ class MatchContext:
         import threading
 
         self._nb_lock = threading.Lock()
+        self._dyn_lock = threading.Lock()
         self._nb_thread = None
         self._nb_box: dict = {}
         # dynls decision pinned per bucket after the first kernel-path call:
@@ -372,7 +379,10 @@ def match_segments(
         # pattern rows must split evenly over the model axis in whole
         # kernel blocks: pad P to an mp*bp multiple
         peq_j = jnp.asarray(prep_peq_cols(peq, bp=mp * DEF_BP))
-        MAX_INFLIGHT = 32  # bound HBM held by queued chunk inputs/outputs
+        # bound HBM held by queued chunk inputs/outputs; halved when two
+        # calls overlap on a pipelined ctx so the TOTAL in-flight budget
+        # stays at the tuned single-call level
+        MAX_INFLIGHT = 16 if ctx.pipelined else 32
         pending: list[tuple[int, object]] = []
 
         def _drain(limit: int) -> None:
@@ -407,19 +417,23 @@ def match_segments(
         if mesh is None and _dyn_env != "0":
             from ..ops.match_pallas import match_full_dynls_tpu
 
-            if ctx._dyn_bucket is not None:
-                # pinned by an earlier batched call: never flip a bucket's
-                # kernel choice mid-run (each flip is a fresh compile)
+            # decide-and-pin under a lock: concurrently pipelined batch
+            # calls share the ctx, and an unsynchronized read-decide-write
+            # could pin BOTH kernels for one bucket shape (two ~3.5-min
+            # remote compiles). First decision per bucket wins; later calls
+            # merge only new buckets into the shared dict.
+            with ctx._dyn_lock:
+                if ctx._dyn_bucket is None:
+                    ctx._dyn_bucket = {}
+                for idx, ls_b in bucket_idx:
+                    if ls_b in ctx._dyn_bucket:
+                        continue
+                    ll = np.sort(lengths[idx])
+                    pad = np.zeros(round_up(ll.size, DEF_BR), np.int64)
+                    pad[: ll.size] = ll
+                    f = pad.reshape(-1, DEF_BR).max(axis=1).mean() / ls_b
+                    ctx._dyn_bucket[ls_b] = _dyn_env == "1" or f <= 0.85
                 dyn_bucket = dict(ctx._dyn_bucket)
-            for idx, ls_b in bucket_idx:
-                if ls_b in dyn_bucket:
-                    continue
-                ll = np.sort(lengths[idx])
-                pad = np.zeros(round_up(ll.size, DEF_BR), np.int64)
-                pad[: ll.size] = ll
-                f = pad.reshape(-1, DEF_BR).max(axis=1).mean() / ls_b
-                dyn_bucket[ls_b] = _dyn_env == "1" or f <= 0.85
-            ctx._dyn_bucket = dict(dyn_bucket)
 
         def _block_maxlens(sub: np.ndarray, r_pad: int) -> np.ndarray:
             ll = np.zeros(r_pad, np.int32)

@@ -171,12 +171,19 @@ def _run(args, stats) -> None:
     n_hosts = getattr(args, "n_hosts", 1) or 1
     multi = n_hosts > 1
     group = None
+    # batch size defines each part's read span, so it keys the store (a
+    # resume with a different batch would reuse parts with mismatched spans)
+    ckpt_batch = int(_os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
     store = PartStore(
         "extract_lr_bc_scan",
         job_key(
             "extract_lr_bc_scan",
             list(args.reads),
-            {"sa": args.short_read_adapter, "z": bool(args.gzipped)},
+            {
+                "sa": args.short_read_adapter,
+                "z": bool(args.gzipped),
+                "batch": ckpt_batch,
+            },
         ),
     )
     if not multi and args.outfile is not None:
@@ -228,9 +235,7 @@ def _run(args, stats) -> None:
             # batch-granular scan cache: per-read scan results are position-
             # independent, so batches resume independently; the global parts
             # (range detection, filtering) re-run cheaply from the cache
-            import os as _os
-
-            batch = int(_os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
+            batch = ckpt_batch
             parts = []
             for bi, (s, e) in enumerate(batch_iter(len(seqs), batch)):
                 if store.has(bi, "npz"):

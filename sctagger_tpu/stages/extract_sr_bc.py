@@ -57,9 +57,13 @@ def _run(args, stats) -> None:
         top = top[: args.max_barcode_cnt]
     else:
         # the scan itself is parameter-free (thresh/step/cap only affect the
-        # cheap post-processing), so parts survive parameter tweaks
+        # cheap post-processing), so parts survive parameter tweaks — but the
+        # batch byte size defines the per-part scan ranges, so it keys the
+        # store (stale-span reuse guard)
+        bb = int(os.environ.get("SCTAG_SR_BATCH_BYTES", DEF_BATCH_BYTES))
         store = PartStore(
-            "extract_sr_bc", job_key("extract_sr_bc", [args.input], {"v": 1})
+            "extract_sr_bc",
+            job_key("extract_sr_bc", [args.input], {"v": 1, "bb": bb}),
         )
         if store.enabled:
             with stats.timer("bam_scan"):

@@ -129,17 +129,19 @@ def _scan_with_checkpoint(args, segments, probe_fn):
     from ..utils import batch_iter
 
     n_hosts = getattr(args, "n_hosts", 1) or 1
+    # batch size defines the part spans, so it keys the store (stale-span
+    # reuse guard; see pipeline/checkpoint.py)
+    batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
     store = PartStore(
         "extract_sr_bc_from_lr_scan",
         job_key(
             "extract_sr_bc_from_lr_scan",
             [args.input, args.barcode_whitelist],
-            {"m": args.max_barcode_cnt},
+            {"m": args.max_barcode_cnt, "batch": batch},
         ),
     )
     if not store.enabled or n_hosts > 1:
         return probe_fn(segments)
-    batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
     counts_parts, val_parts = [], []
     for bi, (s, e) in enumerate(batch_iter(len(segments), batch)):
         if store.has(bi, "npz"):

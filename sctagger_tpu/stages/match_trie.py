@@ -88,12 +88,17 @@ def _run(args, stats) -> None:
     stats.count("barcodes", len(barcodes))
     stats.count("reads", len(names))
 
+    # the batch size defines the part-span geometry, so it MUST key the
+    # store: a resume with a different SCTAG_CHECKPOINT_BATCH (or across a
+    # default change) would otherwise silently reuse parts whose row spans
+    # no longer match
+    batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 524_288))
     store = PartStore(
         "match_trie",
         job_key(
             "match_trie",
             [args.long_read_segments, args.short_read_barcodes],
-            {"mr": args.max_error, "bl": args.barcode_length},
+            {"mr": args.max_error, "bl": args.barcode_length, "batch": batch},
         ),
     )
     if args.outfile is not None:
@@ -118,9 +123,12 @@ def _run(args, stats) -> None:
             from ..io.tsv import write_match_tsv_native
             from ..models.matcher import MatchContext, fit_buckets
 
-            ctx = MatchContext(barcodes, buckets=fit_buckets(seq_lengths(segs)))
+            ctx = MatchContext(
+                barcodes,
+                buckets=fit_buckets(seq_lengths(segs)),
+                pipelined=True,
+            )
             outfile = open_out(args.outfile, force_gzip=False)
-            batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 524_288))
             spans = list(batch_iter(len(segs), batch))
 
             def _match(bi: int):

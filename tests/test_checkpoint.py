@@ -93,6 +93,30 @@ def test_match_trie_checkpoint_key_invalidation(tmp_path, monkeypatch):
     assert dirs2 - dirs1, "expected a fresh part store for changed input"
 
 
+def test_match_trie_checkpoint_batch_change_invalidation(tmp_path, monkeypatch):
+    """Changing SCTAG_CHECKPOINT_BATCH re-keys the part store: a resume with
+    a different batch size must never reuse parts whose row spans no longer
+    match the new span geometry (ADVICE r4 high)."""
+    rng = np.random.default_rng(95)
+    sr, lr = _match_inputs(tmp_path, rng, n_reads=48)
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SCTAG_CHECKPOINT_DIR", str(ckpt))
+    argv = ["match_trie", "-lr", str(lr), "-sr", str(sr), "-t", "1"]
+
+    monkeypatch.setenv("SCTAG_CHECKPOINT_BATCH", "16")
+    out_a = tmp_path / "a.tsv"
+    cli_main([*argv, "-o", str(out_a)])
+    dirs1 = {p.name for p in ckpt.iterdir()}
+
+    # same inputs, different batch: fresh store, byte-identical output
+    monkeypatch.setenv("SCTAG_CHECKPOINT_BATCH", "20")
+    out_b = tmp_path / "b.tsv"
+    cli_main([*argv, "-o", str(out_b)])
+    dirs2 = {p.name for p in ckpt.iterdir()}
+    assert dirs2 - dirs1, "expected a fresh part store for a new batch size"
+    assert out_b.read_text() == out_a.read_text()
+
+
 def test_extract_lr_bc_checkpoint_resume(tmp_path, monkeypatch):
     rng = np.random.default_rng(92)
     lines = []
