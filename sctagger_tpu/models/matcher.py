@@ -155,6 +155,13 @@ class MatchContext:
             raise self._nb_box["err"]
         return self._nb_box["idx"]
 
+    def nb_ready(self) -> bool:
+        """Non-blocking: True iff the neighborhood index finished building
+        (used to opportunistically re-probe carried survivors without ever
+        stalling the dispatch pipeline on the build)."""
+        t = self._nb_thread
+        return t is not None and not t.is_alive() and "idx" in self._nb_box
+
 
 def fit_buckets(lengths: np.ndarray) -> list[int]:
     """Public bucket fit for callers pinning buckets across batches
@@ -393,16 +400,26 @@ def match_segments(
                 min_dist[sub] = out[0]
                 tie_by_chunk[ci] = out[1:]
 
-        # one small "tail" shape besides the full chunk: a bucket's final
-        # partial flush (or a tiny whole input) pads to PASS1_CHUNK//8
-        # instead of the full chunk, cutting the padded-FLOPs waste of every
-        # checkpoint-batch boundary ~8x for the cost of at most ONE extra
-        # compiled shape per bucket. Must stay a whole number of BR blocks
+        # small "tail" shapes besides the full chunk: a bucket's final
+        # partial flush (or a tiny whole input) pads to the smallest tail
+        # that fits instead of the full chunk, cutting the padded-FLOPs
+        # waste of every flush/checkpoint boundary for the cost of at most
+        # TWO extra compiled shapes per bucket (//8 since r3; //2 added in
+        # r5 for the 45-95K-survivor flushes that mid-scale inputs produce
+        # — VERDICT r4 #4). Each tail must be a whole number of BR blocks
         # divisible over the data mesh axis.
-        tail_chunk = max(DEF_BR, PASS1_CHUNK // 8)
         dp = mesh.shape["data"] if mesh is not None else 1
-        if (tail_chunk // DEF_BR) % max(dp, 1):
-            tail_chunk = PASS1_CHUNK
+        tail_chunks = [
+            c
+            for c in (PASS1_CHUNK // 8, PASS1_CHUNK // 2)
+            if c >= DEF_BR and (c // DEF_BR) % max(dp, 1) == 0
+        ]
+
+        def _r_pad(n: int) -> int:
+            for c in tail_chunks:
+                if n <= c:
+                    return c
+            return PASS1_CHUNK
 
         # dynamic sweep bound for RAGGED buckets: blocks are length-sorted,
         # so the per-BR-block max length is tight, and the dynls kernel
@@ -447,7 +464,7 @@ def match_segments(
             # flush fits the tail shape
             chunks.append((sub, seg_codes, ls))
             tie_by_chunk.append(None)
-            r_pad = tail_chunk if sub.size <= tail_chunk else PASS1_CHUNK
+            r_pad = _r_pad(sub.size)
             seg_T = prep_segs_T(seg_codes, ls=ls, br=DEF_BR, r_pad=r_pad)
             if mesh is not None and mp > 1:
                 dev = shard_match_full_mp(
@@ -530,14 +547,45 @@ def match_segments(
             cur_ls = None
             carry_sub: list[np.ndarray] = []
             carry_codes: list[np.ndarray] = []
+            carry_pend: list[bool] = []  # exact-only entries awaiting d1
             carry_n = 0
 
+            def _reprobe_carry() -> None:
+                # opportunistic d1 upgrade of carried exact-only survivors
+                # (VERDICT r4 #4): slice 0 ships with only the cheap exact
+                # probe (no neighborhood-build wait); by the time its
+                # survivors actually DISPATCH the index is usually ready,
+                # so re-probing prunes the ~40% of them that resolve at
+                # distance 1 before they occupy padded device rows.
+                # Output-identical: probe tiers are output-invisible by
+                # construction, and when the index is not ready yet the
+                # rows simply ship to the device as before.
+                nonlocal carry_n
+                if not any(carry_pend) or not ctx.nb_ready():
+                    return
+                for i, pend in enumerate(carry_pend):
+                    if not pend:
+                        continue
+                    carry_pend[i] = False
+                    sub_i = carry_sub[i]
+                    if sub_i.size == 0:
+                        continue
+                    keep = _take_exact(
+                        sub_i,
+                        ctx.nb_index().probe(carry_codes[i], lengths[sub_i]),
+                    )
+                    if keep is not None:
+                        carry_sub[i] = sub_i[keep]
+                        carry_codes[i] = carry_codes[i][keep]
+                        carry_n -= int(sub_i.size - carry_sub[i].size)
+
             def _flush() -> None:
-                nonlocal carry_sub, carry_codes, carry_n
+                nonlocal carry_sub, carry_codes, carry_pend, carry_n
+                _reprobe_carry()
                 if carry_n:
                     _dispatch(np.concatenate(carry_sub),
                               np.concatenate(carry_codes), cur_ls)
-                carry_sub, carry_codes, carry_n = [], [], 0
+                carry_sub, carry_codes, carry_pend, carry_n = [], [], [], 0
 
             for j, (sub, ls, mode) in enumerate(slices):
                 seg_codes, ex = prep_q.popleft().result()
@@ -554,7 +602,10 @@ def match_segments(
                     cur_ls = ls
                 carry_sub.append(sub)
                 carry_codes.append(seg_codes)
+                carry_pend.append(mode == "exact")
                 carry_n += sub.size
+                if carry_n >= PASS1_CHUNK:
+                    _reprobe_carry()
                 if carry_n >= PASS1_CHUNK:
                     sub_all = np.concatenate(carry_sub)
                     codes_all = np.concatenate(carry_codes)
@@ -563,7 +614,11 @@ def match_segments(
                                   codes_all[:PASS1_CHUNK], ls)
                         sub_all = sub_all[PASS1_CHUNK:]
                         codes_all = codes_all[PASS1_CHUNK:]
+                    # pending granularity is lost in the repack; if the
+                    # index was not ready the remainder just ships unprobed
+                    # (pre-r5 behavior)
                     carry_sub, carry_codes = [sub_all], [codes_all]
+                    carry_pend = [False]
                     carry_n = sub_all.size
             _flush()
         finally:

@@ -155,6 +155,46 @@ def test_match_segments_streaming_kernel_path(monkeypatch):
     assert kern_off == ref
 
 
+def test_match_segments_carry_reprobe_parity(monkeypatch):
+    """The r5 opportunistic d1 re-probe of carried exact-only survivors is
+    output-invisible: with the neighborhood index pre-built (nb_ready()
+    guaranteed True at dispatch time, so the re-probe branch definitely
+    runs on slice 0's survivors) the result equals the jnp fallback."""
+    import sctagger_tpu.models.matcher as matcher
+
+    monkeypatch.setattr(matcher, "PASS1_CHUNK", 1024)
+    rng = np.random.default_rng(77)
+    barcodes = [random_dna(rng, 16) for _ in range(12)]
+    segs = []
+    for r in range(2300):
+        body = random_dna(rng, 24)
+        roll = rng.random()
+        if roll < 0.4:
+            b = barcodes[int(rng.integers(len(barcodes)))]
+            segs.append(body[:4] + b + body[4:8])
+        elif roll < 0.8:
+            b = list(barcodes[int(rng.integers(len(barcodes)))])
+            for _ in range(int(rng.integers(1, 3))):
+                b[int(rng.integers(16))] = "ACGT"[int(rng.integers(4))]
+            segs.append(body[:4] + "".join(b) + body[4:8])
+        else:
+            segs.append(body)
+
+    monkeypatch.setenv("SCTAG_EXACT_PREFILTER", "1")
+    ctx = matcher.MatchContext(barcodes)
+    ctx.nb_index()  # block until built: dispatch-time nb_ready() is True
+    assert ctx.nb_ready()
+    r = matcher.match_segments(
+        segs, barcodes, max_error=2, force_kernel=True, ctx=ctx
+    )
+    ref = matcher.match_segments(segs, barcodes, max_error=2)
+    assert r.rids.tolist() == ref.rids.tolist()
+    assert r.dists.tolist() == ref.dists.tolist()
+    assert r.tie_counts.tolist() == ref.tie_counts.tolist()
+    for i in range(r.rids.size):
+        assert r.ties_of(i).tolist() == ref.ties_of(i).tolist()
+
+
 @pytest.mark.parametrize("bl", [4, 12, 16, 20, 31])
 def test_neighborhood_probe_vs_oracle(bl):
     """NeighborhoodIndex.probe == DP oracle on every read with min <= 1:
