@@ -715,11 +715,135 @@ class _D0Scanner:
         )
 
 
+class _D1Scanner:
+    """Host dist<=1 adapter resolver (native/adapter_d1.cpp, VERDICT r4 #3).
+
+    Same raw/apply split and accumulator contract as :class:`_D0Scanner`,
+    with the extra tier: reads whose adapter min distance is 0 OR 1 on
+    exactly one strand resolve host-side (d, strand, full edlib location
+    set); 0/0, 1/1 cross-strand minima are the d1 == d2 tie => NA. The
+    native scan emits EXACT per-strand end sets at distance 0 and 1
+    (pigeonhole half-key screen + exact verify — see adapter_d1.cpp), so
+    every decision below is certain:
+
+      * f0>0 & r0>0            -> NA (0 == 0 tie)
+      * f0>0 only              -> '+', d=0, locs = d0 ends
+      * r0>0 only              -> '-', d=0, locs = (end-m+1) - len - 1
+      * no d0; f1>0 & r1>0     -> NA (1 == 1 tie)
+      * no d0; f1>0 only       -> '+', d=1, locs = d1 ends
+      * no d0; r1>0 only       -> '-', d=1, locs = start - len - 1
+        (starts come from the native scan: minimal optimal start per end)
+      * otherwise (or slot/candidate overflow) -> undecided, device path
+    """
+
+    K = 8  # per-tier per-strand slots; cnt > K defers to the device path
+
+    def __init__(self, lib, pat_stack: np.ndarray, m: int):
+        self.lib = lib
+        self.pat_fwd = np.ascontiguousarray(pat_stack[0], np.uint8)
+        self.pat_rc = np.ascontiguousarray(pat_stack[1], np.uint8)
+        self.m = m
+        self.table = np.ascontiguousarray(STRICT_TABLE)
+        self.nthreads = _os.cpu_count() or 2
+
+    def raw(self, sb):
+        buf = getattr(sb, "buf", None)
+        offs = getattr(sb, "offs", None)
+        if buf is None or offs is None:
+            return None
+        n = len(sb)
+        offs = np.ascontiguousarray(offs, np.int64)
+        f0 = np.zeros(n, np.int32)
+        r0 = np.zeros(n, np.int32)
+        f1 = np.zeros(n, np.int32)
+        r1 = np.zeros(n, np.int32)
+        ends0 = np.zeros((n, 2 * self.K), np.int64)
+        ends1 = np.zeros((n, 2 * self.K), np.int64)
+        flags = np.zeros(n, np.uint8)
+        self.lib.sctag_adapter_scan1(
+            buf.ctypes.data, offs.ctypes.data, n, self.table.ctypes.data,
+            self.pat_fwd.ctypes.data, self.pat_rc.ctypes.data, self.m,
+            self.K, self.nthreads, f0.ctypes.data, r0.ctypes.data,
+            f1.ctypes.data, r1.ctypes.data, ends0.ctypes.data,
+            ends1.ctypes.data, flags.ctypes.data,
+        )
+        return f0, r0, f1, r1, ends0, ends1, flags, offs
+
+    def apply(self, sb, raw, off, strands, dists, loc_rids, loc_vals):
+        if raw is None:
+            return None
+        f0, r0, f1, r1, ends0, ends1, flags, offs = raw
+        K, m = self.K, self.m
+        kar = np.arange(K)[None, :]
+        ok = flags == 0
+        both0 = ok & (f0 > 0) & (r0 > 0)
+        fwd0 = ok & (f0 > 0) & (r0 == 0) & (f0 <= K)
+        rev0 = ok & (r0 > 0) & (f0 == 0) & (r0 <= K)
+        no0 = ok & (f0 == 0) & (r0 == 0)
+        both1 = no0 & (f1 > 0) & (r1 > 0)
+        fwd1 = no0 & (f1 > 0) & (r1 == 0) & (f1 <= K)
+        rev1 = no0 & (r1 > 0) & (f1 == 0) & (r1 <= K)
+
+        def _emit_fwd(sel, ends, dvals, d):
+            i = np.flatnonzero(sel)
+            if not i.size:
+                return
+            g = off + i
+            strands[g] = 0
+            dists[g] = d
+            cnts = dvals[i]
+            loc_rids.append(np.repeat(g, cnts))
+            loc_vals.append(ends[i, :K][kar < cnts[:, None]])
+
+        _emit_fwd(fwd0, ends0, f0, 0)
+        _emit_fwd(fwd1, ends1, f1, 1)
+        ri = np.flatnonzero(rev0)
+        if ri.size:
+            g = off + ri
+            strands[g] = 1
+            dists[g] = 0
+            cnts = r0[ri]
+            lens_r = (offs[ri + 1] - offs[ri]).astype(np.int64)
+            e = ends0[ri, K:][kar < cnts[:, None]]
+            starts = e - (m - 1)
+            loc_rids.append(np.repeat(g, cnts))
+            loc_vals.append(starts - np.repeat(lens_r, cnts) - 1)
+        ri = np.flatnonzero(rev1)
+        if ri.size:
+            g = off + ri
+            strands[g] = 1
+            dists[g] = 1
+            cnts = r1[ri]
+            lens_r = (offs[ri + 1] - offs[ri]).astype(np.int64)
+            starts = ends1[ri, K:][kar < cnts[:, None]]  # starts directly
+            loc_rids.append(np.repeat(g, cnts))
+            loc_vals.append(starts - np.repeat(lens_r, cnts) - 1)
+        resolved = both0 | fwd0 | rev0 | both1 | fwd1 | rev1
+        from ..utils.misc import PROF, _PROF_LOCK
+
+        n1 = float((both1 | fwd1 | rev1).sum())
+        with _PROF_LOCK:  # COUNTS, not seconds (bench decomposition aid)
+            PROF["scan.d0_resolved_reads"] = (
+                PROF.get("scan.d0_resolved_reads", 0.0) + float(resolved.sum())
+            )
+            PROF["scan.d1_resolved_reads"] = (
+                PROF.get("scan.d1_resolved_reads", 0.0) + n1
+            )
+        return ~resolved
+
+    def __call__(self, sb, off, strands, dists, loc_rids, loc_vals):
+        return self.apply(
+            sb, self.raw(sb), off, strands, dists, loc_rids, loc_vals
+        )
+
+
 def _make_d0_scanner(pat_stack: np.ndarray, m: int):
-    """_D0Scanner or None if the native lib is unavailable or the adapter is
-    not pure uppercase ACGT (a junk char can never match exactly under the
-    STRICT alphabet, so the kernel path must handle such adapters — the
-    packed keys cannot represent them)."""
+    """Host prefilter scanner, or None if the native lib is unavailable or
+    the adapter is not pure uppercase ACGT (a junk char can never match
+    exactly under the STRICT alphabet, so the kernel path must handle such
+    adapters — the packed keys cannot represent them). Returns the d<=1
+    scanner by default (SCTAG_ADAPTER_D1=0 drops back to the d0-only r4
+    behavior; the d1 screen needs m >= 10 for a selective half-key)."""
     if (pat_stack > 3).any():
         return None
     try:
@@ -728,14 +852,16 @@ def _make_d0_scanner(pat_stack: np.ndarray, m: int):
         lib = load()
     except Exception:  # pragma: no cover - toolchain missing
         return None
+    if m >= 10 and _os.environ.get("SCTAG_ADAPTER_D1", "1") == "1":
+        return _D1Scanner(lib, pat_stack, m)
     return _D0Scanner(lib, pat_stack, m)
 
 
 def make_d0_scanner(adapter: str):
-    """Producer-side d0 scanner for the stage driver (None when disabled by
-    SCTAG_ADAPTER_D0=0, the adapter exceeds one packed word, or the native
-    lib is missing) — the SAME gating scan_adapters_stream applies, so a
-    producer-attached raw result is always consumed."""
+    """Producer-side host-prefilter scanner for the stage driver (None when
+    disabled by SCTAG_ADAPTER_D0=0, the adapter exceeds one packed word, or
+    the native lib is missing) — the SAME gating scan_adapters_stream
+    applies, so a producer-attached raw result is always consumed."""
     m = len(adapter)
     if m > 32 or _os.environ.get("SCTAG_ADAPTER_D0", "1") != "1":
         return None

@@ -20,6 +20,7 @@ _SRCS = [
     _DIR / "tsv_writer.cpp",
     _DIR / "range_search.cpp",
     _DIR / "adapter_d0.cpp",
+    _DIR / "adapter_d1.cpp",
 ]
 _LIB = _DIR / "libsctag_io.so"
 
@@ -229,6 +230,25 @@ def load():
         ctypes.c_void_p,   # fwd_cnt (int32*)
         ctypes.c_void_p,   # rc_cnt (int32*)
         ctypes.c_void_p,   # ends (int64*, n x 2*kmax)
+    ]
+    lib.sctag_adapter_scan1.restype = None
+    lib.sctag_adapter_scan1.argtypes = [
+        ctypes.c_void_p,   # buf (uint8*)
+        ctypes.c_void_p,   # offs (int64*, n+1)
+        ctypes.c_int64,    # n
+        ctypes.c_void_p,   # table (256 bytes)
+        ctypes.c_void_p,   # pat_fwd (m uint8 codes)
+        ctypes.c_void_p,   # pat_rc (m uint8 codes)
+        ctypes.c_int,      # m
+        ctypes.c_int,      # kmax
+        ctypes.c_int,      # nthreads
+        ctypes.c_void_p,   # f0 (int32*)
+        ctypes.c_void_p,   # r0 (int32*)
+        ctypes.c_void_p,   # f1 (int32*)
+        ctypes.c_void_p,   # r1 (int32*)
+        ctypes.c_void_p,   # ends0 (int64*, n x 2*kmax)
+        ctypes.c_void_p,   # ends1 (int64*, n x 2*kmax)
+        ctypes.c_void_p,   # flags (uint8*)
     ]
     lib.sctag_file_size.restype = ctypes.c_int64
     lib.sctag_file_size.argtypes = [ctypes.c_char_p]

@@ -128,6 +128,39 @@ def test_stream_d0_prefilter_parity(monkeypatch):
     assert PROF.get("scan.d0_resolved_reads", 0) > 0
 
 
+def test_stream_d1_prefilter_parity(monkeypatch):
+    """The dist<=1 host prefilter tier (r5, native/adapter_d1.cpp) must be
+    output-invisible: stream results with the full d<=1 scanner == d0-only
+    == prefilter fully off, on a fixture rich in 1-edit adapters (subs,
+    indels, junk-substitutions, boundary clips) and cross-strand d1 ties."""
+    rng = np.random.default_rng(47)
+    reads = _gen_reads(rng, 60)  # mutate() plants 0-2 edit adapters
+    sub = list(ADAPTER)
+    sub[7] = {"A": "C", "C": "A", "G": "T", "T": "G"}[sub[7]]
+    reads.append("AAAA" + "".join(sub) + "TT")  # clean 1-sub fwd
+    reads.append("GG" + rev_compl(ADAPTER)[:-1])  # rc clipped: 1 del
+    reads.append("".join(sub) + "ACGT" + rev_compl("".join(sub)))  # 1-1 tie
+    junk = list(ADAPTER)
+    junk[3] = "N"
+    reads.append("CC" + "".join(junk) + "GG")  # junk byte as the one edit
+    reads.append(("".join(sub) + "AT") * 9)  # 9 dist-1 hits > host K=8
+    batches = lambda: iter([(["x"] * len(reads), make_sb(reads))])
+
+    from sctagger_tpu.utils.misc import PROF
+
+    monkeypatch.setenv("SCTAG_ADAPTER_D0", "1")
+    monkeypatch.setenv("SCTAG_ADAPTER_D1", "1")
+    PROF.pop("scan.d1_resolved_reads", None)
+    _, _, d1 = scan_adapters_stream(batches(), ADAPTER, force_kernel=True)
+    assert PROF.get("scan.d1_resolved_reads", 0) > 0
+    monkeypatch.setenv("SCTAG_ADAPTER_D1", "0")
+    _, _, d0 = scan_adapters_stream(batches(), ADAPTER, force_kernel=True)
+    monkeypatch.setenv("SCTAG_ADAPTER_D0", "0")
+    _, _, off = scan_adapters_stream(batches(), ADAPTER, force_kernel=True)
+    assert _flatten(d1) == _flatten(off)
+    assert _flatten(d0) == _flatten(off)
+
+
 def test_d0_scanner_declines_non_acgt_adapter(monkeypatch):
     """Regression (r4 review): an adapter with a non-ACGT char must DISABLE
     the d0 prefilter (the packed keys cannot represent it), not crash —
