@@ -213,6 +213,13 @@ def main(argv=None):
             num_processes=args.n_hosts,
             process_id=args.host_id,
         )
+        # Establish the cross-process collective (Gloo) contexts NOW, while
+        # every process is aligned right after the initialize rendezvous:
+        # context setup has a ~30s peer-rendezvous deadline that the first
+        # real collective — issued after per-host parse/scan work of uneven
+        # duration — can otherwise miss.
+        HostGroup(args.host_id, args.n_hosts, sync_dir="",
+                  transport="jax").barrier()
 
     if args.subcommand == "extract_lr_bc":
         from .stages import extract_lr_bc

@@ -476,6 +476,8 @@ def scan_adapters_stream(
             # probe stops competing with encode/dispatch for the consumer
             names, sb = item[0], item[1]
             d0_raw = item[2] if len(item) > 2 else None
+            if hasattr(d0_raw, "result"):
+                d0_raw = d0_raw.result()  # probe future (producer pipeline)
             rnames.extend(names)
             off = len(chain)
             chain.append(sb)

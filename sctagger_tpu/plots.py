@@ -24,13 +24,19 @@ def plot_extract_lr_bc(rnames, dists, outfile) -> None:
 
     dists = np.asarray(dists)
     values, counts = np.unique(dists, return_counts=True)
-    # reference ordering: ascending distance with the NA (=-1) bucket moved last
-    order = [i for i, v in enumerate(values) if v != -1] + [
-        i for i, v in enumerate(values) if v == -1
-    ]
-    values = values[order]
+    # Reference quirks reproduced exactly (scTagger.py:398-414): the groupby
+    # rows sort by distance ascending (NA = -1 first when present), then ROW
+    # 0 — positionally, whatever distance it holds — moves last; labels are
+    # POSITIONAL too (rename {0:'NA', 1:'0', ..., 11:'10'}; rows past 11
+    # keep their integer position as the label). With no NA bucket this
+    # labels distance 0 as 'NA' etc. — kept for chart parity.
+    k = len(values)
+    order = list(range(1, k)) + ([0] if k else [])
     counts = counts[order]
-    labels = ["NA" if v == -1 else str(v) for v in values]
+    labels = [
+        "NA" if p == 0 else (str(p - 1) if p <= 11 else str(p))
+        for p in order
+    ]
     cum = np.cumsum(counts)
     cum_pct = cum / max(len(dists), 1) * 100
 

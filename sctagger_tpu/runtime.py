@@ -34,7 +34,11 @@ def cpu_ctx():
     import jax
 
     try:
-        return jax.default_device(jax.devices("cpu")[0])
+        # local_devices, NOT devices: under jax.distributed the global
+        # device list leads with process 0's device, and pinning another
+        # process's jit output there makes it unfetchable ("spans
+        # non-addressable devices")
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
     except RuntimeError:
         return contextlib.nullcontext()
 

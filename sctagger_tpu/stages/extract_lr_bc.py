@@ -132,6 +132,21 @@ def _run_stream(args, stats):
         # time the parse itself, not the q.put backpressure wait (the queue
         # fills whenever the consumer is the bottleneck; counting that wait
         # made read_fastq look like 13s of a 3s parse in the sustained bench)
+        #
+        # r5: the host-prefilter raw scan moved OFF the parse loop onto its
+        # own single worker (attached to the queue item as a future), so
+        # batch i's probe overlaps batch i+1's parse — with the d<=1 tier
+        # resolving ~99% of reads the pipeline had become producer-SERIAL
+        # bound (parse + probe back to back on this thread, consumer idle).
+        # The ctypes probe releases the GIL, so the overlap is real.
+        from concurrent.futures import ThreadPoolExecutor
+
+        probe_pool = ThreadPoolExecutor(1) if d0 is not None else None
+
+        def _timed_raw(sb):
+            with prof_timer("scan.d0probe"):
+                return d0.raw(sb)
+
         try:
             it = read_fastqs_stream(args.reads, args.gzipped)
             try:
@@ -139,14 +154,16 @@ def _run_stream(args, stats):
                     with prof_timer("stage.read_fastq"):
                         b = next(it, None)
                     if b is not None and d0 is not None:
-                        with prof_timer("scan.d0probe"):
-                            b = (b[0], b[1], d0.raw(b[1]))
+                        b = (b[0], b[1], probe_pool.submit(_timed_raw, b[1]))
                     if not _put(b) or b is None:
                         return
             finally:
                 it.close()  # finalize: closes the native stream handle
         except BaseException as ex:  # surfaced by _stream_batches
             _put(ex)
+        finally:
+            if probe_pool is not None:
+                probe_pool.shutdown(wait=False, cancel_futures=True)
 
     threading.Thread(target=_produce, daemon=True).start()
     try:

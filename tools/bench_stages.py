@@ -170,6 +170,10 @@ def bench_lr(n_reads: int, read_len: int, stage_key: str = "lr",
     if d0 is not None:
         entry["phases_s"].pop("scan.d0_resolved_reads", None)
         entry["d0_resolved_frac"] = round(d0 / n_reads, 4)
+    d1 = prof.get("scan.d1_resolved_reads")
+    if d1 is not None:  # subset of d0_resolved_frac resolved at distance 1
+        entry["phases_s"].pop("scan.d1_resolved_reads", None)
+        entry["d1_resolved_frac"] = round(d1 / n_reads, 4)
     _record(stage_key, entry)
 
 
