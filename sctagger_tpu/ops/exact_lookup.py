@@ -114,6 +114,39 @@ def _probe(sorted_keys, values, qkeys, qvalid):
     return hit, val
 
 
+@functools.partial(jax.jit, static_argnames=("k", "L"))
+def _probe_rows_packed(sorted_keys, values, packed, lens, k: int, L: int):
+    """Transfer-lean device probe (VERDICT r4 #5): 2-bit-packed text up,
+    per-ROW (count, single_val) down.
+
+    The r4 device path uploaded unpacked uint32 window keys and downloaded
+    per-WINDOW hit/value matrices — ~6 MB of tunnel traffic per 64K-segment
+    chunk, which dominated the 3M-whitelist wall (70K rows/s, below the
+    1-thread reference). This kernel expands the windows and reduces the
+    ambiguity rule on device instead: upload (rows, L/4) packed bytes +
+    lengths, download two int32 vectors. Rows containing non-ACGT bytes
+    cannot ride the 2-bit pack (junk aliases into the alphabet) — the
+    caller routes them through the exact host probe.
+    """
+    n = packed.shape[0]
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = (packed[:, :, None].astype(jnp.uint32) >> shifts) & 3
+    codes = codes.reshape(n, -1)[:, :L]  # (n, L)
+    w = L - k + 1
+    key = jnp.zeros((n, w), jnp.uint32)
+    for i in range(k):  # rolling keys, char 0 in the top bits
+        key = (key << 2) | codes[:, i : w + i]
+    valid = (jnp.arange(w, dtype=jnp.int32)[None, :] + k) <= lens[:, None]
+    pos = jnp.minimum(
+        jnp.searchsorted(sorted_keys, key), sorted_keys.shape[0] - 1
+    )
+    hit = (sorted_keys[pos] == key) & valid
+    val = jnp.where(hit, values[pos], 0)
+    c = hit.sum(axis=1).astype(jnp.int32)
+    sv = jnp.where(c == 1, val.sum(axis=1), 0).astype(jnp.int32)
+    return c, sv
+
+
 @functools.partial(jax.jit)
 def _sortjoin_probe(sorted_keys, values, qkeys, qvalid):
     """Zero-random-access lookup for TPU: sort (table ‖ queries) together,
@@ -257,6 +290,7 @@ def probe_segments(
                 "using the device probe",
                 file=sys.stderr,
             )
+    chunk = int(os.environ.get("SCTAG_PROBE_CHUNK", chunk) or chunk)
     counts = np.zeros(n, dtype=np.int64)
     single_val = np.zeros(n, dtype=np.int64)
     sk = jnp.asarray(sorted_keys.view(np.uint32))
@@ -278,6 +312,12 @@ def probe_segments(
     from ..parallel.mesh import local_mesh, shard_probe
 
     mesh = local_mesh(model_parallel=1)
+    if mesh is None and not state["use_sortjoin"]:
+        # single-device default: the transfer-lean packed probe (per-row
+        # reduction on device; see _probe_rows_packed)
+        return _probe_segments_packed(
+            segments, sk, vv, sorted_keys, values, k, chunk
+        )
 
     def probe(qk, qv):
         if state["use_sortjoin"]:
@@ -337,6 +377,89 @@ def probe_segments(
         pending.append((s, min(chunk, n - s), hit_d, val_d))
         _drain(MAX_INFLIGHT)
     _drain(0)
+    return counts, single_val
+
+
+def _probe_segments_packed(segments, sk, vv, sorted_keys, values, k, chunk):
+    """Packed-upload device probe driver (single-device path).
+
+    Per chunk: one native encode+2-bit-pack pass, async dispatch of
+    _probe_rows_packed (ONE compiled shape), per-row results drained into
+    the output vectors. Rows with in-sequence non-ACGT bytes cannot ride
+    the pack (junk aliases into the alphabet) — their device lengths zero
+    out (no valid windows) and they re-probe through the exact host hash
+    probe afterwards (or the unpacked device probe if the native lib is
+    missing)."""
+    n = len(segments)
+    counts = np.zeros(n, dtype=np.int64)
+    single_val = np.zeros(n, dtype=np.int64)
+    lengths = seq_lengths(segments) if n else np.zeros(0, np.int64)
+    L = int(max(int(lengths.max(initial=0)), k))
+    L = -(-L // 4) * 4  # packed bytes need L % 4 == 0
+    junk_rows: list[np.ndarray] = []
+    MAX_INFLIGHT = 8
+    pending: list[tuple[int, int, object, object]] = []
+
+    def _drain(limit: int) -> None:
+        while len(pending) > limit:
+            s, real, c_d, v_d = pending.pop(0)
+            counts[s : s + real] = np.asarray(c_d)[:real]
+            single_val[s : s + real] = np.asarray(v_d)[:real]
+
+    enc_packed = getattr(segments, "encode_packed", None)
+    for s in range(0, n, chunk):
+        idx = np.arange(s, min(s + chunk, n), dtype=np.int64)
+        if enc_packed is not None:
+            pk, lens, junk = enc_packed(idx, pad_to=L, table=STRICT_TABLE)
+        else:
+            codes, lens = encode_rows(
+                segments, idx, pad_to=L, table=STRICT_TABLE
+            )
+            in_len = np.arange(L)[None, :] < lens[:, None]
+            junk = ((codes > 3) & in_len).any(axis=1)
+            c4 = (codes & 3).astype(np.uint8).reshape(idx.size, L // 4, 4)
+            pk = (
+                c4[:, :, 0]
+                | (c4[:, :, 1] << 2)
+                | (c4[:, :, 2] << 4)
+                | (c4[:, :, 3] << 6)
+            )
+        lens = lens.astype(np.int32)
+        if junk.any():
+            junk_rows.append(idx[junk])
+            lens = np.where(junk, 0, lens).astype(np.int32)
+        pad = chunk - idx.size
+        if pad and s > 0:  # pad final chunk to the single compiled shape
+            pk = np.concatenate([pk, np.zeros((pad, L // 4), np.uint8)])
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+        c_d, v_d = _probe_rows_packed(
+            sk, vv, jnp.asarray(pk), jnp.asarray(lens), k, L
+        )
+        pending.append((s, idx.size, c_d, v_d))
+        _drain(MAX_INFLIGHT)
+    _drain(0)
+
+    if junk_rows:
+        jr = np.concatenate(junk_rows)
+        sub = [segments[int(i)] for i in jr]
+        try:
+            jc, jv = _probe_rows_host(sub, sorted_keys, values, k)
+        except Exception:
+            # exact unpacked device probe for the rare junk rows (qvalid
+            # from pack_kmers_from_codes masks junk-containing windows)
+            Lj = int(max(max(len(x) for x in sub), k))
+            codes, lens = encode_seqs(sub, pad_to=Lj, table=STRICT_TABLE)
+            qkeys, qvalid = pack_kmers_from_codes(codes, lens, k)
+            hit, val = _probe(
+                sk, vv, jnp.asarray(qkeys.view(np.uint32)),
+                jnp.asarray(qvalid),
+            )
+            hit = np.asarray(hit)
+            val = np.asarray(val, dtype=np.int64)
+            jc = hit.sum(axis=1)
+            jv = np.where(jc == 1, (val * hit).sum(axis=1), 0)
+        counts[jr] = jc
+        single_val[jr] = jv
     return counts, single_val
 
 

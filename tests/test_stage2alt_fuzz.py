@@ -196,3 +196,26 @@ def test_host_probe_matches_device_probe(monkeypatch):
     ch, vh = _probe_rows_host(segs, sk, vals, 16)
     np.testing.assert_array_equal(cd, ch)
     np.testing.assert_array_equal(vd[cd == 1], vh[cd == 1])
+
+    # r5 packed device path (single-device: SCTAG_MAX_DEVICES=1 drops the
+    # CPU test mesh so _probe_segments_packed engages, incl. its junk-row
+    # host re-probe and the final-chunk pad) must agree too
+    monkeypatch.setenv("SCTAG_MAX_DEVICES", "1")
+    monkeypatch.setenv("SCTAG_PROBE_CHUNK", "1024")
+    cp, vp = probe_segments(segs, sk, vals, 16)
+    np.testing.assert_array_equal(cp, ch)
+    np.testing.assert_array_equal(vp[cp == 1], vh[cp == 1])
+
+    # and with the native lib unavailable the junk rows take the unpacked
+    # device fallback instead
+    import sctagger_tpu.ops.exact_lookup as xl
+
+    def _boom(*a, **k):
+        raise OSError("native unavailable (test)")
+
+    real = xl._probe_rows_host
+    monkeypatch.setattr(xl, "_probe_rows_host", _boom)
+    cq, vq = probe_segments(segs, sk, vals, 16)
+    monkeypatch.setattr(xl, "_probe_rows_host", real)
+    np.testing.assert_array_equal(cq, ch)
+    np.testing.assert_array_equal(vq[cq == 1], vh[cq == 1])
