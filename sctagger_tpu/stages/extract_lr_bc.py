@@ -147,17 +147,24 @@ def _run_stream(args, stats):
             with prof_timer("scan.d0probe"):
                 return d0.raw(sb)
 
+        from ..utils import progress_bar
+
         try:
             it = read_fastqs_stream(args.reads, args.gzipped)
+            bar = progress_bar(desc="reads", unit="read")
             try:
                 while True:
                     with prof_timer("stage.read_fastq"):
                         b = next(it, None)
-                    if b is not None and d0 is not None:
-                        b = (b[0], b[1], probe_pool.submit(_timed_raw, b[1]))
+                    if b is not None:
+                        bar.update(len(b[1]))
+                        if d0 is not None:
+                            b = (b[0], b[1],
+                                 probe_pool.submit(_timed_raw, b[1]))
                     if not _put(b) or b is None:
                         return
             finally:
+                bar.close()
                 it.close()  # finalize: closes the native stream handle
         except BaseException as ex:  # surfaced by _stream_batches
             _put(ex)

@@ -147,9 +147,12 @@ def _extract_checkpointed(args, store: PartStore):
     batch = int(os.environ.get("SCTAG_SR_BATCH_BYTES", DEF_BATCH_BYTES))
     n_batches = max(1, -(-size // batch))
     bounds = [size * i // n_batches for i in range(n_batches + 1)]
+    from ..utils import progress_bar
+
     nthreads = _bam_threads()
     parts = []
     spill = 0
+    bar = progress_bar(total=n_batches, desc="bam", unit="range")
     for i in range(n_batches):
         if store.has(i, "npz"):
             d = store.load_arrays(i)
@@ -157,6 +160,7 @@ def _extract_checkpointed(args, store: PartStore):
             barcodes = raw.split("\n") if raw else []
             total, kept, spill = (int(x) for x in d["meta"])
             parts.append((barcodes, d["counts"], d["firsts"], total, kept))
+            bar.update(1)
             continue
         barcodes, counts, firsts, total, kept, sp, _ = (
             extract_cb_counts_range(
@@ -173,6 +177,8 @@ def _extract_checkpointed(args, store: PartStore):
         )
         spill = sp
         parts.append((barcodes, counts, firsts, total, kept))
+        bar.update(1)
+    bar.close()
     print("\n=====\nCounting and sorting barcodes")
     return _merge_counts(parts)
 

@@ -131,6 +131,8 @@ def _scan_with_checkpoint(args, segments, probe_fn):
     n_hosts = getattr(args, "n_hosts", 1) or 1
     # batch size defines the part spans, so it keys the store (stale-span
     # reuse guard; see pipeline/checkpoint.py)
+    from ..utils import progress_bar
+
     batch = int(os.environ.get("SCTAG_CHECKPOINT_BATCH", 250_000))
     store = PartStore(
         "extract_sr_bc_from_lr_scan",
@@ -143,6 +145,7 @@ def _scan_with_checkpoint(args, segments, probe_fn):
     if not store.enabled or n_hosts > 1:
         return probe_fn(segments)
     counts_parts, val_parts = [], []
+    bar = progress_bar(total=len(segments), desc="probe", unit="row")
     for bi, (s, e) in enumerate(batch_iter(len(segments), batch)):
         if store.has(bi, "npz"):
             d = store.load_arrays(bi)
@@ -152,6 +155,8 @@ def _scan_with_checkpoint(args, segments, probe_fn):
             store.save_arrays(bi, **d)
         counts_parts.append(d["counts"])
         val_parts.append(d["single_val"])
+        bar.update(e - s)
+    bar.close()
     if not counts_parts:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     return np.concatenate(counts_parts), np.concatenate(val_parts)

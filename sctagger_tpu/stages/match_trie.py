@@ -158,6 +158,9 @@ def _run(args, stats) -> None:
                 ):
                     futs[bi] = pool.submit(_match, bi)
 
+            from ..utils import progress_bar
+
+            bar = progress_bar(total=len(segs), desc="match", unit="seg")
             try:
                 _ensure(0)
                 _ensure(1)
@@ -191,7 +194,9 @@ def _run(args, stats) -> None:
                         stats.count("batches_computed")
                     n_matched += text.count("\n")  # exact for cached parts too
                     outfile.write(text)
+                    bar.update(e - s)
             finally:
+                bar.close()
                 pool.shutdown(wait=True)
             if outfile is not sys.stdout:
                 outfile.close()

@@ -5,5 +5,6 @@ from .misc import (  # noqa: F401
     full_fast,
     pick_bucket,
     prof_timer,
+    progress_bar,
     round_up,
 )

@@ -77,3 +77,40 @@ class prof_timer:
         with _PROF_LOCK:
             PROF[self.key] = PROF.get(self.key, 0.0) + dt
         return False
+
+
+class _NullBar:
+    def update(self, n: int = 1) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def progress_bar(total=None, desc: str = "", unit: str = "it"):
+    """tqdm progress bar on stderr, mirroring the reference's surface
+    (scTagger.py:168,282,312,444-446,704 wrap every long loop in tqdm).
+
+    Enabled when SCTAG_PROGRESS=1, disabled when =0; by default only when
+    stderr is a TTY so captured-output runs (benches, golden tests, logs)
+    stay byte-clean. Returns a no-op bar when disabled or tqdm is missing.
+    Use as a context manager or call .update()/.close()."""
+    import os
+    import sys
+
+    flag = os.environ.get("SCTAG_PROGRESS")
+    if flag == "0":
+        return _NullBar()
+    if flag != "1" and not sys.stderr.isatty():
+        return _NullBar()
+    try:
+        from tqdm import tqdm
+    except Exception:  # pragma: no cover - tqdm missing
+        return _NullBar()
+    return tqdm(total=total, desc=desc, unit=unit, file=sys.stderr)
