@@ -199,6 +199,33 @@ def _sortjoin_probe(sorted_keys, values, qkeys, qvalid):
     return hit, jnp.where(hit, val_o[nt:].reshape(qshape), 0)
 
 
+_DEV_TABLE_CACHE: dict = {}  # content digest -> (sk_dev, vv_dev)
+
+
+def _device_table(sorted_keys: np.ndarray, values: np.ndarray):
+    """Device-resident (keys, values) arrays, cached by CONTENT digest.
+
+    A 3M-barcode whitelist is ~48 MB of table; re-uploading it on every
+    probe_segments call costs 1-3 s on the axon tunnel — a first-order
+    share of the device-probe wall. The md5 over the raw bytes (~0.1 s)
+    makes the cache safe under mutation/rebuild; one entry is kept (the
+    production stages use a single whitelist per run)."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(np.ascontiguousarray(sorted_keys).view(np.uint8).tobytes())
+    h.update(np.ascontiguousarray(values).view(np.uint8).tobytes())
+    key = h.hexdigest()
+    hit = _DEV_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _DEV_TABLE_CACHE.clear()
+    sk = jnp.asarray(sorted_keys.view(np.uint32))
+    vv = jnp.asarray(values.astype(np.int32))
+    _DEV_TABLE_CACHE[key] = (sk, vv)
+    return sk, vv
+
+
 HASH_EMPTY = np.int32(np.iinfo(np.int32).min)
 
 
@@ -293,8 +320,7 @@ def probe_segments(
     chunk = int(os.environ.get("SCTAG_PROBE_CHUNK", chunk) or chunk)
     counts = np.zeros(n, dtype=np.int64)
     single_val = np.zeros(n, dtype=np.int64)
-    sk = jnp.asarray(sorted_keys.view(np.uint32))
-    vv = jnp.asarray(values.astype(np.int32))
+    sk, vv = _device_table(sorted_keys, values)
     # binary search is the default probe everywhere. The probe shootout
     # (ROADMAP.md): open-addressing hash is 2x SLOWER than binary search on
     # TPU (per-query random HBM gathers lose); the sort-join variant (zero
