@@ -114,6 +114,60 @@ def _probe(sorted_keys, values, qkeys, qvalid):
     return hit, val
 
 
+BUCKET_BITS = 23  # 2^23 buckets: ~0.7 keys/bucket at the 6M-key whitelist
+
+
+def build_bucket_offsets(sorted_keys: np.ndarray):
+    """(off, shift, maxb) for the bucketed probe: off[b] = first table index
+    whose key's top BUCKET_BITS equal b (off has 2^BITS+1 entries), maxb =
+    the largest bucket's size rounded up to a multiple of 4 (the probe's
+    static unroll — rounding keeps the compile-shape count small across
+    whitelists)."""
+    shift = 32 - BUCKET_BITS
+    bounds = (np.arange(1, (1 << BUCKET_BITS) + 1, dtype=np.uint64)
+              << shift).astype(np.uint64)
+    off = np.zeros((1 << BUCKET_BITS) + 1, np.int32)
+    off[1:] = np.searchsorted(
+        sorted_keys.astype(np.uint64), bounds, side="left"
+    ).astype(np.int32)
+    maxb = int(np.diff(off).max()) if sorted_keys.size else 0
+    return off, shift, -(-max(maxb, 1) // 4) * 4
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "shift", "maxb"))
+def _probe_rows_bucketed(sorted_keys, values, off, packed, lens, k: int,
+                         L: int, shift: int, maxb: int):
+    """Bucketed twin of _probe_rows_packed: ~(2 + maxb + 1) HBM gathers per
+    window instead of the 23 binary-search rounds — the measured wall of
+    the packed probe was searchsorted's gather count (178 ms per 64K x 13
+    windows at the 6M-key table, tools/profile_packed_probe.py)."""
+    n = packed.shape[0]
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = (packed[:, :, None].astype(jnp.uint32) >> shifts) & 3
+    codes = codes.reshape(n, -1)[:, :L]
+    w = L - k + 1
+    key = jnp.zeros((n, w), jnp.uint32)
+    for i in range(k):
+        key = (key << 2) | codes[:, i : w + i]
+    valid = (jnp.arange(w, dtype=jnp.int32)[None, :] + k) <= lens[:, None]
+    b = (key >> jnp.uint32(shift)).astype(jnp.int32)
+    lo = off[b]
+    hi = off[b + 1]
+    nk = sorted_keys.shape[0]
+    hit = jnp.zeros(key.shape, bool)
+    hidx = jnp.zeros(key.shape, jnp.int32)
+    for i in range(maxb):
+        idx = jnp.minimum(lo + i, nk - 1)
+        ok = (lo + i < hi) & (sorted_keys[idx] == key)
+        hit = hit | ok
+        hidx = jnp.where(ok, idx, hidx)
+    hit = hit & valid
+    val = jnp.where(hit, values[hidx], 0)
+    c = hit.sum(axis=1).astype(jnp.int32)
+    sv = jnp.where(c == 1, val.sum(axis=1), 0).astype(jnp.int32)
+    return c, sv
+
+
 @functools.partial(jax.jit, static_argnames=("k", "L"))
 def _probe_rows_packed(sorted_keys, values, packed, lens, k: int, L: int):
     """Transfer-lean device probe (VERDICT r4 #5): 2-bit-packed text up,
@@ -222,8 +276,10 @@ def _device_table(sorted_keys: np.ndarray, values: np.ndarray):
     _DEV_TABLE_CACHE.clear()
     sk = jnp.asarray(sorted_keys.view(np.uint32))
     vv = jnp.asarray(values.astype(np.int32))
-    _DEV_TABLE_CACHE[key] = (sk, vv)
-    return sk, vv
+    off, shift, maxb = build_bucket_offsets(sorted_keys.view(np.uint32))
+    entry = (sk, vv, jnp.asarray(off), shift, maxb)
+    _DEV_TABLE_CACHE[key] = entry
+    return entry
 
 
 HASH_EMPTY = np.int32(np.iinfo(np.int32).min)
@@ -320,7 +376,7 @@ def probe_segments(
     chunk = int(os.environ.get("SCTAG_PROBE_CHUNK", chunk) or chunk)
     counts = np.zeros(n, dtype=np.int64)
     single_val = np.zeros(n, dtype=np.int64)
-    sk, vv = _device_table(sorted_keys, values)
+    sk, vv, off_d, shift, maxb = _device_table(sorted_keys, values)
     # binary search is the default probe everywhere. The probe shootout
     # (ROADMAP.md): open-addressing hash is 2x SLOWER than binary search on
     # TPU (per-query random HBM gathers lose); the sort-join variant (zero
@@ -340,9 +396,14 @@ def probe_segments(
     mesh = local_mesh(model_parallel=1)
     if mesh is None and not state["use_sortjoin"]:
         # single-device default: the transfer-lean packed probe (per-row
-        # reduction on device; see _probe_rows_packed)
+        # reduction on device), bucketed unless the whitelist's bucket
+        # distribution is pathological or SCTAG_BUCKET_PROBE=0
+        bucket = (
+            os.environ.get("SCTAG_BUCKET_PROBE", "1") == "1" and maxb <= 32
+        )
         return _probe_segments_packed(
-            segments, sk, vv, sorted_keys, values, k, chunk
+            segments, sk, vv, sorted_keys, values, k, chunk,
+            bucketed=(off_d, shift, maxb) if bucket else None,
         )
 
     def probe(qk, qv):
@@ -406,7 +467,8 @@ def probe_segments(
     return counts, single_val
 
 
-def _probe_segments_packed(segments, sk, vv, sorted_keys, values, k, chunk):
+def _probe_segments_packed(segments, sk, vv, sorted_keys, values, k, chunk,
+                           bucketed=None):
     """Packed-upload device probe driver (single-device path).
 
     Per chunk: one native encode+2-bit-pack pass, async dispatch of
@@ -458,9 +520,16 @@ def _probe_segments_packed(segments, sk, vv, sorted_keys, values, k, chunk):
         if pad and s > 0:  # pad final chunk to the single compiled shape
             pk = np.concatenate([pk, np.zeros((pad, L // 4), np.uint8)])
             lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-        c_d, v_d = _probe_rows_packed(
-            sk, vv, jnp.asarray(pk), jnp.asarray(lens), k, L
-        )
+        if bucketed is not None:
+            off_d, shift, maxb = bucketed
+            c_d, v_d = _probe_rows_bucketed(
+                sk, vv, off_d, jnp.asarray(pk), jnp.asarray(lens), k, L,
+                shift, maxb,
+            )
+        else:
+            c_d, v_d = _probe_rows_packed(
+                sk, vv, jnp.asarray(pk), jnp.asarray(lens), k, L
+            )
         pending.append((s, idx.size, c_d, v_d))
         _drain(MAX_INFLIGHT)
     _drain(0)
