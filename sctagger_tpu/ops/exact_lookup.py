@@ -122,15 +122,19 @@ def build_bucket_offsets(sorted_keys: np.ndarray):
     whose key's top BUCKET_BITS equal b (off has 2^BITS+1 entries), maxb =
     the largest bucket's size rounded up to a multiple of 4 (the probe's
     static unroll — rounding keeps the compile-shape count small across
-    whitelists)."""
+    whitelists). Built from one bincount pass with calloc-backed outputs —
+    the searchsorted-over-8M-boundaries form cost ~11 s of malloc-backed
+    first-touch on this host (page-fault cliff, CLAUDE.md; r5 review)."""
     shift = 32 - BUCKET_BITS
-    bounds = (np.arange(1, (1 << BUCKET_BITS) + 1, dtype=np.uint64)
-              << shift).astype(np.uint64)
-    off = np.zeros((1 << BUCKET_BITS) + 1, np.int32)
-    off[1:] = np.searchsorted(
-        sorted_keys.astype(np.uint64), bounds, side="left"
-    ).astype(np.int32)
-    maxb = int(np.diff(off).max()) if sorted_keys.size else 0
+    nb = 1 << BUCKET_BITS
+    cnt = np.bincount(
+        (sorted_keys >> np.uint32(shift)).astype(np.int64), minlength=nb
+    )
+    off64 = np.zeros(nb + 1, np.int64)
+    np.cumsum(cnt, out=off64[1:])
+    off = np.zeros(nb + 1, np.int32)
+    off[:] = off64  # write into calloc-backed pages (no astype malloc)
+    maxb = int(cnt.max()) if sorted_keys.size else 0
     return off, shift, -(-max(maxb, 1) // 4) * 4
 
 
@@ -276,8 +280,15 @@ def _device_table(sorted_keys: np.ndarray, values: np.ndarray):
     _DEV_TABLE_CACHE.clear()
     sk = jnp.asarray(sorted_keys.view(np.uint32))
     vv = jnp.asarray(values.astype(np.int32))
-    off, shift, maxb = build_bucket_offsets(sorted_keys.view(np.uint32))
-    entry = (sk, vv, jnp.asarray(off), shift, maxb)
+    if os.environ.get("SCTAG_BUCKET_PROBE") == "1":
+        # opt-in only: measured NEGATIVE on this hardware (PROBE_BUCKETED
+        # negative, 2026-08-21 — steady alt_device_3m 11.7 s bucketed vs
+        # 8.3 s searchsorted despite ~half the gathers per window), kept
+        # for re-evaluation on other TPU generations
+        off, shift, maxb = build_bucket_offsets(sorted_keys.view(np.uint32))
+        entry = (sk, vv, jnp.asarray(off), shift, maxb)
+    else:
+        entry = (sk, vv, None, 0, 0)
     _DEV_TABLE_CACHE[key] = entry
     return entry
 
@@ -373,7 +384,11 @@ def probe_segments(
                 "using the device probe",
                 file=sys.stderr,
             )
-    chunk = int(os.environ.get("SCTAG_PROBE_CHUNK", chunk) or chunk)
+    # <1 (incl. "0", the repo-wide 'off' convention) keeps the default
+    # rather than becoming a zero range step
+    env_chunk = int(os.environ.get("SCTAG_PROBE_CHUNK", "0") or 0)
+    if env_chunk >= 1:
+        chunk = env_chunk
     counts = np.zeros(n, dtype=np.int64)
     single_val = np.zeros(n, dtype=np.int64)
     sk, vv, off_d, shift, maxb = _device_table(sorted_keys, values)
@@ -396,11 +411,10 @@ def probe_segments(
     mesh = local_mesh(model_parallel=1)
     if mesh is None and not state["use_sortjoin"]:
         # single-device default: the transfer-lean packed probe (per-row
-        # reduction on device), bucketed unless the whitelist's bucket
-        # distribution is pathological or SCTAG_BUCKET_PROBE=0
-        bucket = (
-            os.environ.get("SCTAG_BUCKET_PROBE", "1") == "1" and maxb <= 32
-        )
+        # reduction on device). The bucketed variant is OPT-IN
+        # (SCTAG_BUCKET_PROBE=1) — recorded negative on this hardware
+        # (PROBE_BUCKETED.json)
+        bucket = off_d is not None and maxb <= 32
         return _probe_segments_packed(
             segments, sk, vv, sorted_keys, values, k, chunk,
             bucketed=(off_d, shift, maxb) if bucket else None,

@@ -170,7 +170,13 @@ def _run_stream(args, stats):
             _put(ex)
         finally:
             if probe_pool is not None:
-                probe_pool.shutdown(wait=False, cancel_futures=True)
+                # queued futures are still owned by already-enqueued batch
+                # items the consumer will .result() — cancel them ONLY when
+                # the consumer is gone (a cancel at normal EOF would raise
+                # CancelledError on the tail batches; r5 review finding)
+                probe_pool.shutdown(
+                    wait=False, cancel_futures=stop.is_set()
+                )
 
     threading.Thread(target=_produce, daemon=True).start()
     try:

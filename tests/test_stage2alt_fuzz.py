@@ -206,9 +206,20 @@ def test_host_probe_matches_device_probe(monkeypatch):
     np.testing.assert_array_equal(cp, ch)
     np.testing.assert_array_equal(vp[cp == 1], vh[cp == 1])
 
+    # the opt-in bucketed kernel (recorded negative, SCTAG_BUCKET_PROBE=1)
+    # must stay output-identical
+    import sctagger_tpu.ops.exact_lookup as xl
+
+    monkeypatch.setenv("SCTAG_BUCKET_PROBE", "1")
+    xl._DEV_TABLE_CACHE.clear()  # re-derive the table entry with offsets
+    cb, vb = probe_segments(segs, sk, vals, 16)
+    monkeypatch.delenv("SCTAG_BUCKET_PROBE")
+    xl._DEV_TABLE_CACHE.clear()
+    np.testing.assert_array_equal(cb, ch)
+    np.testing.assert_array_equal(vb[cb == 1], vh[cb == 1])
+
     # and with the native lib unavailable the junk rows take the unpacked
     # device fallback instead
-    import sctagger_tpu.ops.exact_lookup as xl
 
     def _boom(*a, **k):
         raise OSError("native unavailable (test)")
