@@ -839,6 +839,106 @@ class _D1Scanner:
         )
 
 
+class _D2Scanner:
+    """Host dist<=2 adapter resolver (native/adapter_d2.cpp, r5).
+
+    Same raw/apply contract as :class:`_D1Scanner` with a third tier: the
+    native scan emits EXACT per-strand end sets at distance 0, 1 AND 2
+    (3-part pigeonhole screen + banded verify), so the cascade extends one
+    level — equal cross-strand minima at any tier are the d1 == d2 tie =>
+    NA, a strictly smaller minimum resolves that strand with its full
+    edlib location set, and only reads whose minima are >= 3 on both
+    strands (or that overflow the slot/candidate budget) ship to the
+    device."""
+
+    K = 8
+
+    def __init__(self, lib, pat_stack: np.ndarray, m: int):
+        self.lib = lib
+        self.pat_fwd = np.ascontiguousarray(pat_stack[0], np.uint8)
+        self.pat_rc = np.ascontiguousarray(pat_stack[1], np.uint8)
+        self.m = m
+        self.table = np.ascontiguousarray(STRICT_TABLE)
+        self.nthreads = _os.cpu_count() or 2
+
+    def raw(self, sb):
+        buf = getattr(sb, "buf", None)
+        offs = getattr(sb, "offs", None)
+        if buf is None or offs is None:
+            return None
+        n = len(sb)
+        offs = np.ascontiguousarray(offs, np.int64)
+        cnts = [np.zeros(n, np.int32) for _ in range(6)]
+        ends = [np.zeros((n, 2 * self.K), np.int64) for _ in range(3)]
+        flags = np.zeros(n, np.uint8)
+        self.lib.sctag_adapter_scan2(
+            buf.ctypes.data, offs.ctypes.data, n, self.table.ctypes.data,
+            self.pat_fwd.ctypes.data, self.pat_rc.ctypes.data, self.m,
+            self.K, self.nthreads,
+            *(c.ctypes.data for c in cnts),
+            *(e.ctypes.data for e in ends),
+            flags.ctypes.data,
+        )
+        return cnts, ends, flags, offs
+
+    def apply(self, sb, raw, off, strands, dists, loc_rids, loc_vals):
+        if raw is None:
+            return None
+        (f0, r0, f1, r1, f2, r2), ends, flags, offs = raw
+        K, m = self.K, self.m
+        kar = np.arange(K)[None, :]
+        fs = [f0, f1, f2]
+        rs = [r0, r1, r2]
+        # per-strand minimum over the resolved tiers (3 = "unknown, >= 3")
+        fmin = np.select([f0 > 0, f1 > 0, f2 > 0], [0, 1, 2], 3)
+        rmin = np.select([r0 > 0, r1 > 0, r2 > 0], [0, 1, 2], 3)
+        ok = flags == 0
+        resolved = np.zeros(len(f0), bool)
+        tie = ok & (fmin == rmin) & (fmin < 3)
+        resolved |= tie  # NA: strands/dists stay -1
+        lens_all = (offs[1:] - offs[:-1]).astype(np.int64)
+        for d in range(3):
+            fwd_w = ok & (fmin == d) & (rmin > d) & (fs[d] <= K)
+            fi = np.flatnonzero(fwd_w)
+            if fi.size:
+                g = off + fi
+                strands[g] = 0
+                dists[g] = d
+                cnts = fs[d][fi]
+                loc_rids.append(np.repeat(g, cnts))
+                loc_vals.append(ends[d][fi, :K][kar < cnts[:, None]])
+                resolved[fi] = True
+            rev_w = ok & (rmin == d) & (fmin > d) & (rs[d] <= K)
+            ri = np.flatnonzero(rev_w)
+            if ri.size:
+                g = off + ri
+                strands[g] = 1
+                dists[g] = d
+                cnts = rs[d][ri]
+                lens_r = lens_all[ri]
+                v = ends[d][ri, K:][kar < cnts[:, None]]
+                starts = v - (m - 1) if d == 0 else v  # d>0 slots = starts
+                loc_rids.append(np.repeat(g, cnts))
+                loc_vals.append(starts - np.repeat(lens_r, cnts) - 1)
+                resolved[ri] = True
+        from ..utils.misc import PROF, _PROF_LOCK
+
+        with _PROF_LOCK:  # COUNTS, not seconds (bench decomposition aid)
+            PROF["scan.d0_resolved_reads"] = (
+                PROF.get("scan.d0_resolved_reads", 0.0)
+                + float(resolved.sum())
+            )
+            PROF["scan.d2_resolved_reads"] = PROF.get(
+                "scan.d2_resolved_reads", 0.0
+            ) + float((resolved & (np.minimum(fmin, rmin) == 2)).sum())
+        return ~resolved
+
+    def __call__(self, sb, off, strands, dists, loc_rids, loc_vals):
+        return self.apply(
+            sb, self.raw(sb), off, strands, dists, loc_rids, loc_vals
+        )
+
+
 def _make_d0_scanner(pat_stack: np.ndarray, m: int):
     """Host prefilter scanner, or None if the native lib is unavailable or
     the adapter is not pure uppercase ACGT (a junk char can never match
@@ -854,7 +954,12 @@ def _make_d0_scanner(pat_stack: np.ndarray, m: int):
         lib = load()
     except Exception:  # pragma: no cover - toolchain missing
         return None
-    if m >= 10 and _os.environ.get("SCTAG_ADAPTER_D1", "1") == "1":
+    if _os.environ.get("SCTAG_ADAPTER_D1", "1") != "1":
+        return _D0Scanner(lib, pat_stack, m)
+    if m >= 12 and _os.environ.get("SCTAG_ADAPTER_D2", "1") == "1":
+        # dist<=2 tier (r5): 3-part screen needs >= 4-char parts
+        return _D2Scanner(lib, pat_stack, m)
+    if m >= 10:
         return _D1Scanner(lib, pat_stack, m)
     return _D0Scanner(lib, pat_stack, m)
 

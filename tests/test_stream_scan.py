@@ -150,6 +150,7 @@ def test_stream_d1_prefilter_parity(monkeypatch):
 
     monkeypatch.setenv("SCTAG_ADAPTER_D0", "1")
     monkeypatch.setenv("SCTAG_ADAPTER_D1", "1")
+    monkeypatch.setenv("SCTAG_ADAPTER_D2", "0")  # pin the d1 scanner
     PROF.pop("scan.d1_resolved_reads", None)
     _, _, d1 = scan_adapters_stream(batches(), ADAPTER, force_kernel=True)
     assert PROF.get("scan.d1_resolved_reads", 0) > 0
