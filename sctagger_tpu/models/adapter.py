@@ -956,8 +956,15 @@ def _make_d0_scanner(pat_stack: np.ndarray, m: int):
         return None
     if _os.environ.get("SCTAG_ADAPTER_D1", "1") != "1":
         return _D0Scanner(lib, pat_stack, m)
-    if m >= 12 and _os.environ.get("SCTAG_ADAPTER_D2", "1") == "1":
-        # dist<=2 tier (r5): 3-part screen needs >= 4-char parts
+    if m >= 12 and _os.environ.get("SCTAG_ADAPTER_D2", "0") == "1":
+        # dist<=2 tier (r5, OPT-IN): 3-part screen needs >= 4-char parts.
+        # Measured A/B on the Q20 fixture, this 2-core host (2026-08-21,
+        # same session): d2 64.1K vs d1 76.5K reads/s — the +30% scan cost
+        # (5.2 vs 4.0 s/1M reads) makes the probe the producer-side
+        # critical path for only +1.1% resolution (0.9882 -> 0.9994).
+        # Enable on hosts with >= 3-4 cores (the scan threads scale) or on
+        # high-error data, where d<=1 resolves far less (~61% at 5%
+        # per-base error vs ~91% for d<=2) and the avoided upload wins.
         return _D2Scanner(lib, pat_stack, m)
     if m >= 10:
         return _D1Scanner(lib, pat_stack, m)
