@@ -923,14 +923,18 @@ class _D2Scanner:
                 resolved[ri] = True
         from ..utils.misc import PROF, _PROF_LOCK
 
+        dmin = np.minimum(fmin, rmin)
         with _PROF_LOCK:  # COUNTS, not seconds (bench decomposition aid)
             PROF["scan.d0_resolved_reads"] = (
                 PROF.get("scan.d0_resolved_reads", 0.0)
                 + float(resolved.sum())
             )
+            PROF["scan.d1_resolved_reads"] = PROF.get(
+                "scan.d1_resolved_reads", 0.0
+            ) + float((resolved & (dmin == 1)).sum())
             PROF["scan.d2_resolved_reads"] = PROF.get(
                 "scan.d2_resolved_reads", 0.0
-            ) + float((resolved & (np.minimum(fmin, rmin) == 2)).sum())
+            ) + float((resolved & (dmin == 2)).sum())
         return ~resolved
 
     def __call__(self, sb, off, strands, dists, loc_rids, loc_vals):
@@ -956,8 +960,11 @@ def _make_d0_scanner(pat_stack: np.ndarray, m: int):
         return None
     if _os.environ.get("SCTAG_ADAPTER_D1", "1") != "1":
         return _D0Scanner(lib, pat_stack, m)
-    if m >= 12 and _os.environ.get("SCTAG_ADAPTER_D2", "0") == "1":
-        # dist<=2 tier (r5, OPT-IN): 3-part screen needs >= 4-char parts.
+    if m >= 15 and _os.environ.get("SCTAG_ADAPTER_D2", "0") == "1":
+        # dist<=2 tier (r5, OPT-IN): 3-part screen needs >= 5-char parts —
+        # 4-char parts false-fire so often on ~2kbp reads that the
+        # candidate cap trips and the prefilter disables itself (measured:
+        # m=12 -> 258/400 reads overflowed vs 0/400 at m=15; r5 review).
         # Measured A/B on the Q20 fixture, this 2-core host (2026-08-21,
         # same session): d2 64.1K vs d1 76.5K reads/s — the +30% scan cost
         # (5.2 vs 4.0 s/1M reads) makes the probe the producer-side

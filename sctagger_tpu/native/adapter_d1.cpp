@@ -52,6 +52,8 @@
 #include <thread>
 #include <vector>
 
+#include "adapter_verify.h"
+
 namespace {
 
 struct Pat {
@@ -72,57 +74,13 @@ void build_pat(const uint8_t* codes, int m, Pat& p) {
     p.mask_b = (p.h2 >= 32) ? ~0ull : ((1ull << (2 * p.h2)) - 1);
 }
 
-// Exact <=1-edit verdict for pattern vs the window ending at j (inclusive).
-// Returns 0 (exact), 1 (and sets *lstar to the largest achieving window
-// length), or 2 (= "more than one edit"). table maps text bytes to codes;
-// pattern codes are 0..3, junk codes >3 mismatch everything.
-int verify_end(const uint8_t* t, int64_t len, const uint8_t* table,
-               const Pat& P, int64_t j, int* lstar) {
-    const int m = P.m;
-    // lcp/lcs helpers against a window starting at s of length L
-    auto lcp = [&](int64_t s, int L) {
-        int i = 0;
-        while (i < L && i < m && table[t[s + i]] == P.codes[i]) i++;
-        return i;
-    };
-    auto lcs = [&](int64_t s, int L) {
-        int k = 0;
-        while (k < L && k < m &&
-               table[t[s + L - 1 - k]] == P.codes[m - 1 - k]) k++;
-        return k;
-    };
-    // L == m: exact or one substitution
-    int sub_hit = 0;
-    if (j >= m - 1) {
-        int64_t s = j - m + 1;
-        int i = lcp(s, m);
-        if (i == m) return 0;
-        int k = 0;
-        while (k < m - i - 1 &&
-               table[t[s + m - 1 - k]] == P.codes[m - 1 - k]) k++;
-        if (i + k >= m - 1) sub_hit = 1;
-    }
-    // L == m+1: window has one extra char (insertion into the pattern)
-    if (j >= m) {
-        int64_t s = j - m;
-        if (lcp(s, m + 1) + lcs(s, m + 1) >= m) {
-            *lstar = m + 1;
-            return 1;
-        }
-    }
-    if (sub_hit) {
-        *lstar = m;
-        return 1;
-    }
-    // L == m-1: window lost one pattern char (deletion)
-    if (j >= m - 2 && m >= 2) {
-        int64_t s = j - m + 2;
-        if (lcp(s, m - 1) + lcs(s, m - 1) >= m - 1) {
-            *lstar = m - 1;
-            return 1;
-        }
-    }
-    return 2;
+// Exact <=1-edit verdict for pattern vs the window ending at j (inclusive):
+// the shared sctag_verify_le1 (adapter_verify.h, ONE home for the d<=1
+// semantics across the d1 and d2 scanners).
+inline int verify_end(const uint8_t* t, int64_t len, const uint8_t* table,
+                      const Pat& P, int64_t j, int* lstar) {
+    (void)len;
+    return sctag_verify_le1(t, table, P.codes, P.m, j, lstar);
 }
 
 constexpr int CAND_CAP = 96;

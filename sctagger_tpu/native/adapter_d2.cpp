@@ -45,6 +45,8 @@
 #include <thread>
 #include <vector>
 
+#include "adapter_verify.h"
+
 namespace {
 
 struct Pat2 {
@@ -128,55 +130,15 @@ int verify_end2(const uint8_t* t, int64_t len, const uint8_t* table,
     return best;
 }
 
-// cheap <=1-edit verdict (same lcp/lcs form as adapter_d1.cpp): 0, 1 (with
-// *lstar = largest achieving window length), or 2 (= "2 or more"). ~20x
-// cheaper than the banded pass; phase 1 of the tiered scan below.
-int verify_end1(const uint8_t* t, int64_t len, const uint8_t* table,
-                const Pat2& P, int64_t j, int* lstar) {
-    const int m = P.m;
-    const uint8_t* pc = P.codes;
-    auto lcp = [&](int64_t s, int L) {
-        int i = 0;
-        while (i < L && i < m && table[t[s + i]] == pc[i]) i++;
-        return i;
-    };
-    auto lcs = [&](int64_t s, int L) {
-        int k = 0;
-        while (k < L && k < m && table[t[s + L - 1 - k]] == pc[m - 1 - k])
-            k++;
-        return k;
-    };
-    int sub_hit = 0;
-    if (j >= m - 1) {
-        int64_t s = j - m + 1;
-        int i = lcp(s, m);
-        if (i == m) return 0;
-        int k = 0;
-        while (k < m - i - 1 && table[t[s + m - 1 - k]] == pc[m - 1 - k]) k++;
-        if (i + k >= m - 1) sub_hit = 1;
-    }
-    if (j >= m) {
-        int64_t s = j - m;
-        if (lcp(s, m + 1) + lcs(s, m + 1) >= m) {
-            *lstar = m + 1;
-            return 1;
-        }
-    }
-    if (sub_hit) {
-        *lstar = m;
-        return 1;
-    }
-    if (j >= m - 2 && m >= 2) {
-        int64_t s = j - m + 2;
-        if (lcp(s, m - 1) + lcs(s, m - 1) >= m - 1) {
-            *lstar = m - 1;
-            return 1;
-        }
-    }
-    return 2;
+// cheap <=1-edit verdict: the shared sctag_verify_le1 (adapter_verify.h);
+// phase 1 of the tiered scan below.
+inline int verify_end1(const uint8_t* t, int64_t len, const uint8_t* table,
+                       const Pat2& P, int64_t j, int* lstar) {
+    (void)len;
+    return sctag_verify_le1(t, table, P.codes, P.m, j, lstar);
 }
 
-constexpr int CAND_CAP = 128;
+constexpr int CAND_CAP = 192;
 
 struct D2Args {
     const uint8_t* buf;
