@@ -23,12 +23,13 @@ _SRCS = [
     _DIR / "adapter_d1.cpp",
     _DIR / "adapter_d2.cpp",
 ]
+_HDRS = [_DIR / "adapter_verify.h"]  # mtime-tracked, not compiled directly
 _LIB = _DIR / "libsctag_io.so"
 
 
 def ensure_built() -> pathlib.Path:
     if _LIB.exists() and all(
-        _LIB.stat().st_mtime >= s.stat().st_mtime for s in _SRCS
+        _LIB.stat().st_mtime >= s.stat().st_mtime for s in _SRCS + _HDRS
     ):
         return _LIB
     base = [
