@@ -174,6 +174,9 @@ def _stage_rates():
             e["phases_s"] = ours[s]["phases_s"]
         if "d0_resolved_frac" in ours[s]:
             e["d0_resolved_frac"] = ours[s]["d0_resolved_frac"]
+        for k in ("best_value", "best_note", "variance_note"):
+            if k in ours[s]:
+                e[k] = ours[s][k]
         # variant rows share their base stage's reference baseline
         rs = {
             "alt_device": "alt", "alt_3m": "alt", "alt_device_3m": "alt",
